@@ -1,0 +1,97 @@
+"""Render configuration.
+
+The reference hard-codes every knob as scattered consts (see SURVEY.md section
+5 "Config / flag system"); here the exact knob set is lifted into one frozen
+dataclass. Defaults reproduce the reference's defaults.
+
+Reference citations for each default:
+  render_scale=0.67          RTRenderer.cs:43
+  enable_taau=True           RTRenderer.cs:44
+  enable_temporal_reuse      RTRenderer.cs:46
+  enable_spatial_reuse       RTRenderer.cs:47
+  rng_lock_noise=1 (animated)RTRenderer.cs:48 (0 = locked/frame-invariant)
+  spp=2                      RTRenderer.cs:49
+  max_depth=3                RTRenderer.cs:204
+  sun defaults               RTRenderer.cs:59-61, 174-178, 192
+  sky tints                  RTRenderer.cs:193-194
+  local/delta candidates     RTRay.cs:443-444
+  restir compat thresholds   RTRay.cs:362-374
+  eps_n (normal offset)      RTRay.cs:185
+  taa feedback/sharp/clamp   RTTaa.cs:77-79
+  max_ray_pixels/min_rt_dim  RTWindow.cs:50-51
+  blas_leaf=4 / tlas_leaf=2  Scene.cs:436, 486
+  rr gate depth>=3, clamp    RTRay.cs:306-311
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    # --- resolution policy ---
+    render_scale: float = 0.67
+    max_ray_pixels: int = 1_000_000
+    min_rt_dim: int = 64
+
+    # --- integrator ---
+    spp: int = 2
+    max_depth: int = 3
+    eps_n: float = 0.0025
+    eps_min: float = 1e-6
+    rr_start_depth: int = 3
+    rr_clamp_lo: float = 0.05
+    rr_clamp_hi: float = 0.98
+    safe_color_max: float = 1e6
+
+    # --- ReSTIR DI ---
+    enable_restir: bool = True
+    enable_temporal_reuse: bool = True
+    enable_spatial_reuse: bool = True
+    local_candidates: int = 8
+    delta_candidates: int = 1
+    compat_normal_dot: float = 0.85
+    compat_depth_rel: float = 0.05
+
+    # --- RNG ---
+    # 0 => locked (frame-invariant noise); nonzero => distinct stream selector /
+    # animated noise (a fresh value per frame). Mirrors rngLockNoise semantics.
+    rng_lock_noise: int = 1
+    rng_salt: int = 0xC0FFEE
+
+    # --- lights ---
+    sun_azimuth: float = 0.0
+    sun_elevation: float = 0.9
+    sun_speed_rad_per_sec: float = 0.0
+    sun_radiance: tuple[float, float, float] = (10.0, 10.0, 10.0)
+    sky_tint_top: tuple[float, float, float] = (0.5, 0.7, 1.0)
+    sky_tint_bottom: tuple[float, float, float] = (1.0, 1.0, 1.0)
+
+    # --- TAAU ---
+    enable_taau: bool = True
+    taa_feedback: float = 0.075
+    taa_sharpness: float = 0.10
+    taa_clamp_k: float = 1.25
+
+    # --- BVH build ---
+    blas_leaf_size: int = 4
+    tlas_leaf_size: int = 2
+
+    # --- progressive accumulation (rebuild-only capability; BASELINE config 4) ---
+    progressive_accumulation: bool = False
+
+    def internal_resolution(self, out_w: int, out_h: int) -> tuple[int, int]:
+        """Internal RT resolution: render_scale per axis, capped at
+        max_ray_pixels total and min_rt_dim per axis (RTWindow.cs:334-342 +
+        RTRenderer.cs:113-116 semantics)."""
+        w = max(1, int(round(out_w * self.render_scale)))
+        h = max(1, int(round(out_h * self.render_scale)))
+        # cap at max_ray_pixels, preserving aspect (RTWindow.ComputeInternalRT)
+        if w * h > self.max_ray_pixels:
+            s = (self.max_ray_pixels / float(w * h)) ** 0.5
+            w = max(self.min_rt_dim, int(w * s))
+            h = max(self.min_rt_dim, int(h * s))
+        w = max(self.min_rt_dim if min(out_w, out_h) >= self.min_rt_dim else 1, w)
+        h = max(self.min_rt_dim if min(out_w, out_h) >= self.min_rt_dim else 1, h)
+        return w, h

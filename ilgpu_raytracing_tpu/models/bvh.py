@@ -1,0 +1,141 @@
+"""Skip-index BVH builder (host, numpy).
+
+Builds the stackless skip-index-threaded BVH the traversal contract depends
+on, reproducing the reference's scheme exactly (reference Scene.cs:405-510):
+
+* median split on the largest-extent axis, with the reference's exact
+  tie-break rules;
+* the RIGHT subtree is emitted before the LEFT one, so a node's left child's
+  subtree can use the right child's root as its miss/skip pointer -- this is
+  what makes the single `cur = hit ? (leaf ? skip-after-prims : left) : skip`
+  walk visit left-then-right in depth order (Scene.cs:459-460);
+* leaf prim ids are appended to a growing indirection list; `first` points
+  into that list (Scene.cs:439-443).
+
+Node int fields are packed `(left, first, count, skip)` -- the reference also
+stores `right` but its traversal never reads it, so it is dropped here.
+
+The same builder covers BLAS (leaf<=4 over prims) and TLAS (leaf<=2 over
+instance world AABBs). A vectorized refit (`refit_bvh`) updates bounds
+bottom-up without changing topology -- the per-frame-refit capability the
+reference's RebuildPolicy advertises but never implements (BvhManager.cs:27,
+SURVEY.md "known quirks").
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+# packed int-field column indices
+LEFT, FIRST, COUNT, SKIP = 0, 1, 2, 3
+
+
+def _largest_axis(ext: np.ndarray) -> int:
+    """Reference axis pick (Scene.cs:447-450): x unless y/z strictly larger."""
+    axis = 0
+    if ext[1] > ext[0] and ext[1] >= ext[2]:
+        axis = 1
+    elif ext[2] > ext[0] and ext[2] >= ext[1]:
+        axis = 2
+    return axis
+
+
+def build_skip_index_bvh(
+    bmin: np.ndarray, bmax: np.ndarray, centroid: np.ndarray, leaf_size: int
+):
+    """Build over P primitive AABBs.
+
+    Returns (node_bmin (N,3) f32, node_bmax (N,3) f32, node_ifields (N,4)
+    int32, leaf_order (L,) int32) where leaf_order lists local prim ids in
+    leaf-emission order and node `first` indexes into leaf_order.
+    """
+    P = bmin.shape[0]
+    assert P > 0
+    bmin = np.asarray(bmin, dtype=np.float32)
+    bmax = np.asarray(bmax, dtype=np.float32)
+    centroid = np.asarray(centroid, dtype=np.float32)
+
+    node_bmin: list[np.ndarray] = []
+    node_bmax: list[np.ndarray] = []
+    node_int: list[list[int]] = []
+    leaf_order: list[np.ndarray] = []
+    leaf_len = 0
+
+    need = 2 * (P // max(1, leaf_size) + 2) * 64
+    if sys.getrecursionlimit() < need:
+        sys.setrecursionlimit(min(1_000_000, max(10_000, need)))
+
+    def rec(ids: np.ndarray, parent_skip: int) -> int:
+        nonlocal leaf_len
+        node_i = len(node_int)
+        nb_min = bmin[ids].min(axis=0)
+        nb_max = bmax[ids].max(axis=0)
+        node_bmin.append(nb_min)
+        node_bmax.append(nb_max)
+        node_int.append([-1, -1, 0, parent_skip])
+
+        if len(ids) <= leaf_size:
+            node_int[node_i][FIRST] = leaf_len
+            node_int[node_i][COUNT] = len(ids)
+            leaf_order.append(ids)
+            leaf_len += len(ids)
+            return node_i
+
+        axis = _largest_axis(nb_max - nb_min)
+        srt = ids[np.argsort(centroid[ids, axis], kind="stable")]
+        mid = len(ids) >> 1
+        right_root = rec(srt[mid:], parent_skip)
+        left_root = rec(srt[:mid], right_root)
+        node_int[node_i][LEFT] = left_root
+        return node_i
+
+    rec(np.arange(P, dtype=np.int32), -1)
+    return (
+        np.stack(node_bmin).astype(np.float32),
+        np.stack(node_bmax).astype(np.float32),
+        np.array(node_int, dtype=np.int32),
+        np.concatenate(leaf_order).astype(np.int32),
+    )
+
+
+def refit_bvh(
+    node_ifields: np.ndarray,
+    leaf_order: np.ndarray,
+    prim_bmin: np.ndarray,
+    prim_bmax: np.ndarray,
+):
+    """Refit node bounds to moved primitives, keeping topology.
+
+    Nodes are emitted parent-before-children, so a reverse sweep sees children
+    before parents. Returns (node_bmin, node_bmax). Works for any tree built
+    by build_skip_index_bvh. The child set of an inner node i is
+    {left, left's sibling}; since right subtrees are emitted first, the right
+    child root is always `i + 1` in emission order.
+    """
+    n = node_ifields.shape[0]
+    node_bmin = np.empty((n, 3), dtype=np.float32)
+    node_bmax = np.empty((n, 3), dtype=np.float32)
+    for i in range(n - 1, -1, -1):
+        left, first, count, _skip = node_ifields[i]
+        if count > 0:
+            prim_ids = leaf_order[first : first + count]
+            node_bmin[i] = prim_bmin[prim_ids].min(axis=0)
+            node_bmax[i] = prim_bmax[prim_ids].max(axis=0)
+        else:
+            right = i + 1  # right subtree emitted immediately after the node
+            node_bmin[i] = np.minimum(node_bmin[left], node_bmin[right])
+            node_bmax[i] = np.maximum(node_bmax[left], node_bmax[right])
+    return node_bmin, node_bmax
+
+
+def sphere_bounds(center: np.ndarray, radius: np.ndarray):
+    r = radius[:, None]
+    return center - r, center + r
+
+
+def triangle_bounds(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray):
+    bmin = np.minimum(v0, np.minimum(v1, v2))
+    bmax = np.maximum(v0, np.maximum(v1, v2))
+    return bmin, bmax

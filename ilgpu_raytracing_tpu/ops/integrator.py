@@ -1,0 +1,291 @@
+"""Wavefront path-trace integrator.
+
+Restructures the reference's per-pixel megakernel (reference
+RTRay.cs:203-325) into a TPU-native wavefront over flat SoA pixel batches:
+
+* `primary_visibility` -- one batched trace + deferred shading fills the
+  G-buffer (the reference's PrimaryVisibilityKernel, RTRay.cs:188-201);
+* `path_trace` -- spp and bounce loops are `lax.scan`s over the whole batch;
+  each bounce issues exactly ONE batched closest-hit trace (the scattered
+  rays of all material lanes together) and ONE batched shadow trace (the
+  ReSTIR-selected samples), instead of per-thread divergent branches. All
+  material branches (mirror / glass / lambert, RTRay.cs:235-317) are computed
+  as masked lane updates and combined with selects.
+
+Algorithmic parity notes:
+* ReSTIR DI with temporal + prev-frame spatial reuse runs at the first
+  diffuse vertex; deeper diffuse vertices run candidates-only RIS and do not
+  write the reservoir (RTRay.cs:277-298).
+* Russian roulette gates on `depth >= rr_start_depth` with throughput clamp
+  [0.05, 0.98] (RTRay.cs:306-311). NOTE: with the reference's defaults
+  (max_depth=3) this is dead code there (SURVEY.md known-quirks); here it is
+  live for deeper configs.
+* Per-sample NaN/Inf scrub (SafeColor, RTRay.cs:645-655).
+* Frame-state flow is pure: reservoirs ping-pong through the return value
+  instead of mutable SoA buffers, which makes the reference's
+  write-m-last / read-prev-only race conventions unrepresentable
+  (SURVEY.md section 5 "race detection").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import lax
+
+from ilgpu_raytracing_tpu.config import RenderConfig
+from ilgpu_raytracing_tpu.models.materials import (
+    SHADING_GLASS,
+    SHADING_LAMBERT,
+    SHADING_MIRROR,
+)
+from ilgpu_raytracing_tpu.models.scene import SceneData
+from ilgpu_raytracing_tpu.ops import rays as rays_mod
+from ilgpu_raytracing_tpu.ops import restir as restir_mod
+from ilgpu_raytracing_tpu.ops import sky as sky_ops
+from ilgpu_raytracing_tpu.ops import traverse
+from ilgpu_raytracing_tpu.ops.sampling import sample_hemisphere_cosine
+from ilgpu_raytracing_tpu.utils import rng as rng_mod
+from ilgpu_raytracing_tpu.utils import vec
+
+
+@struct.dataclass
+class GBuffer:
+    """Primary-visibility surface attributes, flat (N,) SoA
+    (reference GpuGBuffer, RTRay.cs:80-109, with unpacked material fields)."""
+
+    pos: jnp.ndarray  # (N,3) world position (origin + 1e6*dir on miss)
+    normal: jnp.ndarray  # (N,3)
+    albedo: jnp.ndarray  # (N,3)
+    shading: jnp.ndarray  # (N,) i32 (-1 on miss)
+    ior: jnp.ndarray  # (N,)
+    obj_id: jnp.ndarray  # (N,) i32 disocclusion key
+    hit: jnp.ndarray  # (N,) bool
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def primary_visibility(
+    scene: SceneData, camera, width: int, height: int
+) -> GBuffer:
+    o, d = rays_mod.generate_primary_rays(camera, width, height)
+    hit = traverse.trace_closest(scene, o, d)
+    surf = traverse.shade_hits(scene, hit, o, d)
+    return GBuffer(
+        pos=surf.pos,
+        normal=surf.normal,
+        albedo=surf.albedo,
+        shading=surf.shading,
+        ior=surf.ior,
+        obj_id=surf.obj_id,
+        hit=hit.hit,
+    )
+
+
+def _offset_origin(pos, n, d, eps):
+    """Normal-offset ray origin (MakeRayWithNormalOffset, RTRay.cs:552-558)."""
+    s = jnp.where(vec.dot(n, d) >= 0.0, 1.0, -1.0)
+    return pos + n * (eps * s)[..., None]
+
+
+def _merge_reservoirs(dst, src, mask):
+    mrg1 = lambda a, b: jnp.where(mask, b, a)
+    mrg3 = lambda a, b: jnp.where(mask[..., None], b, a)
+    return restir_mod.Reservoirs(
+        L=mrg3(dst.L, src.L),
+        wi=mrg3(dst.wi, src.wi),
+        pdf=mrg1(dst.pdf, src.pdf),
+        w=mrg1(dst.w, src.w),
+        w_sum=mrg1(dst.w_sum, src.w_sum),
+        m=mrg1(dst.m, src.m),
+        light_id=mrg1(dst.light_id, src.light_id),
+    )
+
+
+@partial(
+    jax.jit, static_argnames=("cfg", "width", "height")
+)
+def path_trace(
+    scene: SceneData,
+    gb: GBuffer,
+    camera,
+    prev_camera,
+    res_prev: restir_mod.Reservoirs,
+    res_cur_init: restir_mod.Reservoirs,
+    frame,
+    noise_key,
+    sun_dir,
+    cfg: RenderConfig,
+    width: int,
+    height: int,
+):
+    """Shade the G-buffer with spp samples of multi-bounce transport.
+
+    Returns (color (N,3) linear, depth (N,), obj_id (N,), res_cur).
+    `res_cur_init` is the buffer being overwritten this frame (pixels whose
+    first diffuse vertex never materializes keep its stale contents, like the
+    reference's unclears ping-pong buffers).
+    """
+    n = width * height
+    pixel_idx = jnp.arange(n, dtype=jnp.int32)
+    cam_origin = jnp.asarray(camera.origin, jnp.float32)
+    sky_top = cfg.sky_tint_top
+    sky_bottom = cfg.sky_tint_bottom
+    sun_radiance = cfg.sun_radiance
+
+    _, primary_d = rays_mod.generate_primary_rays(camera, width, height)
+    miss_sky = sky_ops.sky_radiance(primary_d, sky_top, sky_bottom)
+
+    view_i = vec.normalize(gb.pos - cam_origin)  # ViewDirFromCam (RTRay.cs:156)
+
+    def _glass_ior(ior):
+        # ior <= 0 falls back to 1.5 (RTRay.cs:251-252)
+        return jnp.where(ior > 0.0, ior, 1.5)
+
+    def bounce_step(carry, depth):
+        (pos, nrm, alb, shade, ior, thr, li, alive, view, state, wrote,
+         res_cur) = carry
+
+        is_mirror = alive & (shade == SHADING_MIRROR)
+        is_glass = alive & (shade == SHADING_GLASS)
+        is_lambert = alive & (shade == SHADING_LAMBERT)
+
+        # ---- mirror branch (RTRay.cs:235-244) ----
+        dir_mirror = vec.reflect(view, nrm)
+
+        # ---- glass branch (RTRay.cs:246-275) ----
+        outside = vec.dot(view, nrm) < 0.0
+        n_use = jnp.where(outside[..., None], nrm, -nrm)
+        eta_i = jnp.where(outside, 1.0, _glass_ior(ior))
+        eta_t = jnp.where(outside, _glass_ior(ior), 1.0)
+        dir_refl = vec.reflect(view, n_use)
+        refr_ok, dir_refr = vec.refract(view, n_use, eta_i, eta_t)
+        cos_i = jnp.abs(vec.dot(view, n_use))
+        fresnel = vec.schlick_fresnel(cos_i, eta_i, eta_t)
+        state, xi = rng_mod.next_float(state)
+        choose_refl = (~refr_ok) | (xi < fresnel)
+        dir_glass = jnp.where(choose_refl[..., None], dir_refl, dir_refr)
+        offn_glass = jnp.where(choose_refl[..., None], n_use, -n_use)
+        alb_black = jnp.all(alb == 0.0, axis=-1)
+        trans_tint = jnp.where(alb_black[..., None], 1.0, alb)
+        eta_scale = (eta_i * eta_i) / (eta_t * eta_t)
+        thr_glass_mult = jnp.where(
+            choose_refl[..., None], 1.0, trans_tint * eta_scale[..., None]
+        )
+
+        # ---- lambert branch: ReSTIR DI (RTRay.cs:277-298) ----
+        reuse_ok = is_lambert & (~wrote)
+        en_t = reuse_ok if cfg.enable_temporal_reuse else jnp.zeros_like(reuse_ok)
+        en_s = reuse_ok if cfg.enable_spatial_reuse else jnp.zeros_like(reuse_ok)
+        state, res_out, sel = restir_mod.restir_direct(
+            scene, gb, res_prev, state, is_lambert, pos, nrm, alb,
+            pixel_idx, width, height, frame, prev_camera, cam_origin,
+            sun_dir, sun_radiance, sky_top, sky_bottom, en_t, en_s,
+            cfg.local_candidates, cfg.delta_candidates,
+        )
+        shadow_o = _offset_origin(pos, nrm, sel["wi"], cfg.eps_n)
+        occluded = traverse.shadow_occlusion(
+            scene, shadow_o, sel["wi"], 1e29, active=sel["ok"]
+        )
+        direct = jnp.where(
+            (sel["ok"] & (~occluded))[..., None], sel["contrib"], 0.0
+        )
+        li = li + jnp.where(is_lambert[..., None], thr * direct, 0.0)
+        write_mask = is_lambert & (~wrote)
+        res_cur = _merge_reservoirs(res_cur, res_out, write_mask)
+        wrote = wrote | is_lambert
+
+        # indirect lambert bounce + Russian roulette (RTRay.cs:300-317)
+        state, dir_diffuse = sample_hemisphere_cosine(nrm, state)
+        thr_lambert = thr * alb
+        max_c = jnp.clip(
+            jnp.max(thr_lambert, axis=-1), cfg.rr_clamp_lo, cfg.rr_clamp_hi
+        )
+        state, u_rr = rng_mod.next_float(state)
+        rr_on = is_lambert & (depth >= cfg.rr_start_depth)
+        rr_kill = rr_on & (u_rr > max_c)
+        rr_scale = jnp.where(rr_on & (~rr_kill), 1.0 / max_c, 1.0)
+
+        # ---- combine branches ----
+        new_dir = jnp.where(
+            is_mirror[..., None],
+            dir_mirror,
+            jnp.where(is_glass[..., None], dir_glass, dir_diffuse),
+        )
+        offn = jnp.where(is_glass[..., None], offn_glass, nrm)
+        thr = jnp.where(
+            is_mirror[..., None],
+            thr * alb,
+            jnp.where(
+                is_glass[..., None],
+                thr * thr_glass_mult,
+                jnp.where(
+                    is_lambert[..., None],
+                    thr_lambert * rr_scale[..., None],
+                    thr,
+                ),
+            ),
+        )
+        thr = jnp.where(rr_kill[..., None], 0.0, thr)
+
+        trace_active = alive & (~rr_kill)
+        ray_o = _offset_origin(pos, offn, new_dir, cfg.eps_n)
+        hit = traverse.trace_closest(scene, ray_o, new_dir, active=trace_active)
+        surf = traverse.shade_hits(scene, hit, ray_o, new_dir)
+        missed = trace_active & (~hit.hit)
+        li = li + jnp.where(
+            missed[..., None],
+            thr * sky_ops.sky_radiance(new_dir, sky_top, sky_bottom),
+            0.0,
+        )
+        alive = trace_active & hit.hit
+        keep = alive[..., None]
+        pos = jnp.where(keep, surf.pos, pos)
+        nrm = jnp.where(keep, surf.normal, nrm)
+        alb = jnp.where(keep, surf.albedo, alb)
+        shade = jnp.where(alive, surf.shading, shade)
+        ior = jnp.where(alive, surf.ior, ior)
+        view = jnp.where(keep, new_dir, view)
+
+        return (
+            pos, nrm, alb, shade, ior, thr, li, alive, view, state, wrote,
+            res_cur,
+        ), None
+
+    def sample_step(carry, s):
+        res_cur, l_accum = carry
+        state = rng_mod.seed_from_index(
+            pixel_idx, width, frame, s, cfg.rng_salt, noise_key
+        )
+        li0 = jnp.where(gb.hit[..., None], 0.0, miss_sky)
+        init = (
+            gb.pos,
+            vec.normalize(gb.normal),
+            gb.albedo,
+            gb.shading,
+            gb.ior,
+            jnp.ones((n, 3), jnp.float32),
+            li0,
+            gb.hit,
+            view_i,
+            state,
+            jnp.zeros((n,), dtype=bool),
+            res_cur,
+        )
+        out, _ = lax.scan(
+            bounce_step, init, jnp.arange(cfg.max_depth, dtype=jnp.int32)
+        )
+        li = out[6]
+        res_cur = out[11]
+        return (res_cur, l_accum + vec.safe_color(li, cfg.safe_color_max)), None
+
+    (res_cur, l_sum), _ = lax.scan(
+        sample_step,
+        (res_cur_init, jnp.zeros((n, 3), jnp.float32)),
+        jnp.arange(max(1, cfg.spp), dtype=jnp.uint32),
+    )
+    color = l_sum * (1.0 / float(max(1, cfg.spp)))
+    depth = vec.length(gb.pos - cam_origin)
+    return color, depth, gb.obj_id, res_cur

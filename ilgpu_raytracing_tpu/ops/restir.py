@@ -1,0 +1,309 @@
+"""ReSTIR DI: weighted reservoir sampling over sky/sun candidates with
+temporal reprojection and prev-frame spatial reuse.
+
+Algorithm parity with the reference (RTRay.cs:327-543):
+* per lane, 8 cosine-hemisphere "local" candidates scored against the sky +
+  1 directional-sun delta candidate, mixture pdfs 8/9 and 1/9 (:443-472);
+* streaming reservoir update (:393-405);
+* temporal reuse: reproject the shaded point through the previous camera to a
+  prev-frame pixel and import that reservoir (:338-360, 475-483);
+* spatial reuse: 8-neighborhood of PREV-frame reservoirs with hashed
+  rotation / radius 1-2 (:485-516);
+* imported reservoirs are re-scored at the receiver with the
+  unbiased-contribution-weight W = wSum / (m * w) (:407-435);
+* one visibility ray for the selected sample only; contribution
+  f/p * W (:518-539).
+
+Neighbor compatibility uses the CURRENT frame's G-buffer on both sides, like
+the reference (:362-374) -- including for the temporally reprojected pixel (a
+reference quirk kept for parity).
+
+TPU shape: everything is a masked lane-parallel op over flat (N,) batches;
+candidate loops are static unrolls; all reservoir reads are gathers; the
+single visibility test is one batched shadow_occlusion call issued by the
+integrator (so traversal stays out of this module).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from ilgpu_raytracing_tpu.ops import sky as sky_ops
+from ilgpu_raytracing_tpu.ops.sampling import (
+    INV_PI,
+    cos_hemisphere_pdf,
+    sample_hemisphere_cosine,
+)
+from ilgpu_raytracing_tpu.utils import rng as rng_mod
+from ilgpu_raytracing_tpu.utils import vec
+
+LIGHT_ENV = 1
+LIGHT_SUN = 2
+EPS_MIN = 1e-6
+
+
+@struct.dataclass
+class Reservoirs:
+    """SoA reservoir state, one slot per pixel (RTRay.cs:171-179)."""
+
+    L: jnp.ndarray  # (N,3) candidate radiance
+    wi: jnp.ndarray  # (N,3) candidate direction
+    pdf: jnp.ndarray  # (N,) selection pdf (mixture)
+    w: jnp.ndarray  # (N,) score at selection
+    w_sum: jnp.ndarray  # (N,) sum of scores
+    m: jnp.ndarray  # (N,) i32 candidates seen
+    light_id: jnp.ndarray  # (N,) i32
+
+    @staticmethod
+    def empty(n: int) -> "Reservoirs":
+        return Reservoirs(
+            L=jnp.zeros((n, 3), jnp.float32),
+            wi=jnp.zeros((n, 3), jnp.float32),
+            pdf=jnp.zeros((n,), jnp.float32),
+            w=jnp.zeros((n,), jnp.float32),
+            w_sum=jnp.zeros((n,), jnp.float32),
+            m=jnp.zeros((n,), jnp.int32),
+            light_id=jnp.zeros((n,), jnp.int32),
+        )
+
+    def gather(self, idx: jnp.ndarray) -> "Reservoirs":
+        take = lambda a: jnp.take(a, jnp.maximum(idx, 0), axis=0, mode="clip")
+        return Reservoirs(
+            L=take(self.L),
+            wi=take(self.wi),
+            pdf=take(self.pdf),
+            w=take(self.w),
+            w_sum=take(self.w_sum),
+            m=take(self.m),
+            light_id=take(self.light_id),
+        )
+
+
+def reservoir_update(res: Reservoirs, state, wi, pdf_sel, li, score, light_id,
+                     mask):
+    """Masked streaming update (RTRay.cs:393-405). Returns (state, res)."""
+    add = jnp.where(mask, score, 0.0)
+    new_sum = res.w_sum + add
+    accept_p = jnp.where(new_sum > 0.0, add / jnp.maximum(new_sum, EPS_MIN), 0.0)
+    state, u = rng_mod.next_float(state)
+    take = mask & (u < accept_p)
+    lid = jnp.broadcast_to(jnp.asarray(light_id, jnp.int32), res.m.shape)
+    return state, Reservoirs(
+        L=jnp.where(take[..., None], li, res.L),
+        wi=jnp.where(take[..., None], wi, res.wi),
+        pdf=jnp.where(take, pdf_sel, res.pdf),
+        w=jnp.where(take, score, res.w),
+        w_sum=jnp.where(mask, new_sum, res.w_sum),
+        m=res.m + jnp.where(mask, 1, 0).astype(jnp.int32),
+        light_id=jnp.where(take, lid, res.light_id),
+    )
+
+
+def reproject_to_prev_pixel(pos, prev_cam, width: int, height: int):
+    """World point -> prev-frame pixel index or -1 (RTRay.cs:338-360)."""
+    origin = jnp.asarray(prev_cam.origin, jnp.float32)
+    right = jnp.asarray(prev_cam.right, jnp.float32)
+    up = jnp.asarray(prev_cam.up, jnp.float32)
+    forward = jnp.asarray(prev_cam.forward, jnp.float32)
+    fov_y = jnp.asarray(prev_cam.fov_y, jnp.float32)
+    aspect = jnp.asarray(prev_cam.aspect, jnp.float32)
+
+    p = pos - origin
+    x = vec.dot(p, right)
+    y = vec.dot(p, up)
+    z = vec.dot(p, forward)
+    ok = z > 1e-4
+    z_safe = jnp.where(ok, z, 1.0)
+    tan_half = jnp.tan(0.5 * fov_y)
+    ndc_x = x / (z_safe * tan_half * aspect)
+    ndc_y = y / (z_safe * tan_half)
+    fx = 0.5 * (ndc_x + 1.0) * width
+    fy = 0.5 * (ndc_y + 1.0) * height
+    px = jnp.floor(fx).astype(jnp.int32)
+    py = jnp.floor(fy).astype(jnp.int32)
+    inside = (px >= 0) & (px < width) & (py >= 0) & (py < height)
+    idx = py * width + px
+    return jnp.where(ok & inside, idx, -1)
+
+
+def _spatial_compatible(gb, cam_origin, idx_a, idx_b, n_a):
+    """Neighbor compatibility on the current G-buffer (RTRay.cs:362-374)."""
+    take = lambda a, i: jnp.take(a, jnp.maximum(i, 0), axis=0, mode="clip")
+    obj_a = take(gb.obj_id, idx_a)
+    obj_b = take(gb.obj_id, idx_b)
+    same_obj = obj_a == obj_b
+    n_b = vec.normalize(take(gb.normal, idx_b))
+    ndot = vec.dot(n_a, n_b)
+    z_a = vec.length(take(gb.pos, idx_a) - cam_origin)
+    z_b = vec.length(take(gb.pos, idx_b) - cam_origin)
+    rel = jnp.abs(z_a - z_b) / jnp.maximum(1e-3, z_a)
+    return same_obj | ((ndot >= 0.85) & (rel < 0.05))
+
+
+def _import_from_prev(res, state, res_prev: Reservoirs, prev_idx, mask, gb,
+                      cam_origin, cur_idx, n, albedo, mix_local, mix_delta,
+                      sun_radiance, sky_top, sky_bottom):
+    """Import + re-score a prev-frame reservoir (RTRay.cs:407-435)."""
+    valid = mask & (prev_idx >= 0) & (prev_idx < res_prev.m.shape[0])
+    valid = valid & _spatial_compatible(gb, cam_origin, cur_idx, prev_idx, n)
+    pr = res_prev.gather(prev_idx)
+    valid = valid & (pr.m > 0) & (pr.w > 0.0) & (pr.w_sum > 0.0)
+
+    wi = pr.wi
+    is_sun = pr.light_id == LIGHT_SUN
+    li = jnp.where(
+        is_sun[..., None],
+        jnp.asarray(sun_radiance, jnp.float32),
+        sky_ops.sky_radiance(wi, sky_top, sky_bottom),
+    )
+    nl = jnp.maximum(0.0, vec.dot(n, wi))
+    pdf_here = jnp.where(
+        is_sun,
+        jnp.maximum(EPS_MIN, mix_delta),
+        jnp.maximum(EPS_MIN, cos_hemisphere_pdf(n, wi) * mix_local),
+    )
+    f_over_p = albedo * li * ((nl / pdf_here) * INV_PI)[..., None]
+    s_here = vec.luminance(f_over_p)
+    w_src = pr.w_sum / (
+        jnp.maximum(1, pr.m).astype(jnp.float32) * jnp.maximum(EPS_MIN, pr.w)
+    )
+    eff = s_here * w_src
+    lid = jnp.where(is_sun, LIGHT_SUN, LIGHT_ENV)
+    return reservoir_update(res, state, wi, pdf_here, li, eff, lid, valid)
+
+
+def _neighbor_offsets(rot, radius):
+    """8-neighborhood offsets with hashed rotation (RTRay.cs:376-391).
+
+    rot, radius: (N,) int arrays. Returns list of 8 (dx, dy) pairs of (N,)."""
+    r = radius
+
+    def rx(x, y):
+        return jnp.where(
+            rot == 0, x, jnp.where(rot == 1, -y, jnp.where(rot == 2, -x, y))
+        )
+
+    def ry(x, y):
+        return jnp.where(
+            rot == 0, y, jnp.where(rot == 1, x, jnp.where(rot == 2, -y, -x))
+        )
+
+    z = jnp.zeros_like(r)
+    base = [(-r, z), (r, z), (z, -r), (z, r), (-r, -r), (r, -r), (-r, r), (r, r)]
+    return [(rx(x, y), ry(x, y)) for (x, y) in base]
+
+
+def restir_direct(
+    scene_unused,
+    gb,
+    res_prev: Reservoirs,
+    state,
+    active,
+    pos,
+    n,
+    albedo,
+    pixel_idx,
+    width: int,
+    height: int,
+    frame,
+    prev_cam,
+    cam_origin,
+    sun_dir,
+    sun_radiance,
+    sky_top,
+    sky_bottom,
+    enable_temporal,
+    enable_spatial,
+    local_candidates: int = 8,
+    delta_candidates: int = 1,
+):
+    """Candidate generation + reuse + selection (RTRay.cs:437-516).
+
+    Returns (state, res, sel) where `sel` carries the selected sample's
+    shading quantities; the caller performs the single visibility ray and
+    applies `sel.contrib` where visible (final step RTRay.cs:518-539 is split
+    out so the integrator can batch the shadow rays).
+    """
+    total = local_candidates + delta_candidates
+    mix_local = float(local_candidates) / float(total)
+    mix_delta = float(delta_candidates) / float(total)
+
+    res = Reservoirs.empty(pos.shape[0])
+
+    # (1) local BRDF/env candidates
+    for _ in range(local_candidates):
+        state, wi = sample_hemisphere_cosine(n, state)
+        nl = jnp.maximum(0.0, vec.dot(n, wi))
+        pdf_local = jnp.maximum(EPS_MIN, cos_hemisphere_pdf(n, wi))
+        pdf_sel = jnp.maximum(EPS_MIN, pdf_local * mix_local)
+        li = sky_ops.sky_radiance(wi, sky_top, sky_bottom)
+        f_over_p = albedo * li * ((nl / pdf_sel) * INV_PI)[..., None]
+        s = vec.luminance(f_over_p)
+        state, res = reservoir_update(
+            res, state, wi, pdf_sel, li, s, LIGHT_ENV, active
+        )
+
+    # (2) directional sun delta candidate
+    wi_sun = jnp.broadcast_to(
+        vec.normalize(jnp.asarray(sun_dir, jnp.float32)), pos.shape
+    )
+    nl = jnp.maximum(0.0, vec.dot(n, wi_sun))
+    pdf_sel = jnp.full_like(nl, max(EPS_MIN, mix_delta))
+    li_sun = jnp.broadcast_to(jnp.asarray(sun_radiance, jnp.float32), pos.shape)
+    f_over_p = albedo * li_sun * ((nl / pdf_sel) * INV_PI)[..., None]
+    s = vec.luminance(f_over_p)
+    state, res = reservoir_update(
+        res, state, wi_sun, pdf_sel, li_sun, s, LIGHT_SUN, active
+    )
+
+    # (3) temporal reuse via camera reprojection
+    prev_idx = reproject_to_prev_pixel(pos, prev_cam, width, height)
+    state, res = _import_from_prev(
+        res, state, res_prev, prev_idx, active & enable_temporal, gb,
+        cam_origin, pixel_idx, n, albedo, mix_local, mix_delta,
+        sun_radiance, sky_top, sky_bottom,
+    )
+
+    # (4) spatial reuse: 8 prev-frame neighbors, hashed rotation/radius
+    h = rng_mod.hash32(
+        rng_mod.u32(pixel_idx)
+        ^ rng_mod.hash32(rng_mod.u32(frame) ^ rng_mod.hash32(rng_mod.u32(0xB31F5AB1)))
+    )
+    rot = (h & rng_mod.u32(3)).astype(jnp.int32)
+    radius = 1 + ((h >> rng_mod.u32(2)) & rng_mod.u32(1)).astype(jnp.int32)
+    x0 = pixel_idx % width
+    y0 = pixel_idx // width
+    for dx, dy in _neighbor_offsets(rot, radius):
+        nx = x0 + dx
+        ny = y0 + dy
+        inside = (nx >= 0) & (nx < width) & (ny >= 0) & (ny < height)
+        n_idx = jnp.where(inside, ny * width + nx, -1)
+        state, res = _import_from_prev(
+            res, state, res_prev, n_idx, active & enable_spatial & inside, gb,
+            cam_origin, pixel_idx, n, albedo, mix_local, mix_delta,
+            sun_radiance, sky_top, sky_bottom,
+        )
+
+    # (5) selection shading (visibility applied by the caller)
+    ok = active & (res.m > 0) & (res.w_sum > 0.0) & (res.w > 0.0)
+    wi_sel = res.wi
+    is_sun = res.light_id == LIGHT_SUN
+    nl_sel = jnp.maximum(0.0, vec.dot(n, wi_sel))
+    ok = ok & (nl_sel > 0.0)
+    pdf_sel = jnp.where(
+        is_sun,
+        jnp.maximum(EPS_MIN, mix_delta),
+        jnp.maximum(EPS_MIN, cos_hemisphere_pdf(n, wi_sel) * mix_local),
+    )
+    li_sel = jnp.where(
+        is_sun[..., None],
+        jnp.asarray(sun_radiance, jnp.float32),
+        sky_ops.sky_radiance(wi_sel, sky_top, sky_bottom),
+    )
+    f_over_p = albedo * li_sel * ((nl_sel / pdf_sel) * INV_PI)[..., None]
+    w_ucw = res.w_sum / jnp.maximum(1, res.m).astype(jnp.float32) / jnp.maximum(
+        EPS_MIN, res.w
+    )
+    contrib = f_over_p * w_ucw[..., None]
+    return state, res, dict(ok=ok, wi=wi_sel, contrib=contrib)

@@ -227,13 +227,18 @@ def _instance_xs(scene: SceneData, inst_ids: jnp.ndarray):
     )
 
 
-def trace_closest(scene: SceneData, o: jnp.ndarray, d: jnp.ndarray) -> HitRecord:
+def trace_closest(
+    scene: SceneData, o: jnp.ndarray, d: jnp.ndarray, active=None
+) -> HitRecord:
     """Closest-hit world trace (deferred shading).
 
-    o, d: (N,3) world rays. Returns HitRecord.
+    o, d: (N,3) world rays; `active` optionally masks lanes off (they return
+    miss and cost no traversal steps). Returns HitRecord.
     """
     n = o.shape[0]
     inv_d = vec.inv_dir(d)
+    if active is None:
+        active = jnp.ones((n,), dtype=bool)
     best = HitRecord(
         t=jnp.full((n,), T_INF, dtype=jnp.float32),
         kind=jnp.zeros((n,), dtype=jnp.int32),
@@ -249,7 +254,9 @@ def trace_closest(scene: SceneData, o: jnp.ndarray, d: jnp.ndarray) -> HitRecord
         xs = _instance_xs(scene, inst_ids)
 
         def step(carry: HitRecord, x):
-            enter = intersect_aabb(o, inv_d, x["bmin"], x["bmax"], T_EPS, carry.t)
+            enter = active & intersect_aabb(
+                o, inv_d, x["bmin"], x["bmax"], T_EPS, carry.t
+            )
             o_obj = vec.transform_point(x["w2o"], o)
             d_obj = vec.transform_vector(x["w2o"], d)
             start = jnp.where(enter, x["root"], -1).astype(jnp.int32)
@@ -278,12 +285,14 @@ def trace_closest(scene: SceneData, o: jnp.ndarray, d: jnp.ndarray) -> HitRecord
 
 
 def shadow_occlusion(scene: SceneData, o: jnp.ndarray, d: jnp.ndarray,
-                     t_max_world) -> jnp.ndarray:
+                     t_max_world, active=None) -> jnp.ndarray:
     """Any-hit occlusion (SceneDeviceViews.cs:88-121). Returns bool (N,)."""
     n = o.shape[0]
     inv_d = vec.inv_dir(d)
     t_max_world = jnp.broadcast_to(jnp.asarray(t_max_world, jnp.float32), (n,))
     occluded = jnp.zeros((n,), dtype=bool)
+    if active is None:
+        active = jnp.ones((n,), dtype=bool)
 
     def pass_over(occluded, inst_ids, kind: int):
         if inst_ids.shape[0] == 0:
@@ -291,7 +300,7 @@ def shadow_occlusion(scene: SceneData, o: jnp.ndarray, d: jnp.ndarray,
         xs = _instance_xs(scene, inst_ids)
 
         def step(occ, x):
-            enter = (~occ) & intersect_aabb(
+            enter = active & (~occ) & intersect_aabb(
                 o, inv_d, x["bmin"], x["bmax"], T_EPS, t_max_world
             )
             o_obj = vec.transform_point(x["w2o"], o)

@@ -25,6 +25,10 @@ _U = jnp.uint32
 
 
 def u32(x) -> jnp.ndarray:
+    if isinstance(x, int):  # python ints may exceed int32; wrap explicitly
+        import numpy as np
+
+        return jnp.asarray(np.uint32(x & 0xFFFFFFFF))
     return jnp.asarray(x).astype(jnp.uint32)
 
 

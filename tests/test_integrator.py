@@ -1,0 +1,172 @@
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ilgpu_raytracing_tpu.config import RenderConfig
+from ilgpu_raytracing_tpu.models.camera import Camera
+from ilgpu_raytracing_tpu.models.materials import (
+    SHADING_GLASS,
+    SHADING_MIRROR,
+    Material,
+)
+from ilgpu_raytracing_tpu.models.scene import SceneBuilder, build_default_scene
+from ilgpu_raytracing_tpu.ops import integrator, restir, sky
+from ilgpu_raytracing_tpu.ops.sky import sky_radiance
+
+
+def _run(scene, cam, cfg, w, h, frame=0, noise_key=0, prev_cam=None,
+         res_prev=None, res_cur=None):
+    gb = integrator.primary_visibility(scene, cam, w, h)
+    n = w * h
+    res_prev = res_prev or restir.Reservoirs.empty(n)
+    res_cur = res_cur or restir.Reservoirs.empty(n)
+    sun = sky.sun_direction(cfg.sun_azimuth, cfg.sun_elevation)
+    return integrator.path_trace(
+        scene, gb, cam, prev_cam or cam, res_prev, res_cur, frame,
+        np.uint32(noise_key), sun, cfg, w, h,
+    )
+
+
+def test_locked_noise_determinism():
+    _, scene = build_default_scene()
+    cfg = RenderConfig(spp=1)
+    cam = Camera.create(48, 32)
+    c1, *_ = _run(scene, cam, cfg, 48, 32, frame=0, noise_key=1234)
+    c2, *_ = _run(scene, cam, cfg, 48, 32, frame=7, noise_key=1234)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    c3, *_ = _run(scene, cam, cfg, 48, 32, frame=7, noise_key=0)
+    assert (np.asarray(c1) != np.asarray(c3)).any()
+
+
+def test_output_finite_and_bounded():
+    _, scene = build_default_scene()
+    cfg = RenderConfig(spp=2, max_depth=3)
+    cam = Camera.create(64, 48)
+    color, depth, obj, res = _run(scene, cam, cfg, 64, 48)
+    c = np.asarray(color)
+    assert np.isfinite(c).all()
+    assert c.min() >= 0.0
+    assert c.max() <= cfg.safe_color_max
+    assert np.isfinite(np.asarray(depth)).all()
+
+
+def test_miss_pixels_get_sky():
+    _, scene = build_default_scene()
+    cfg = RenderConfig(spp=1)
+    w, h = 32, 32
+    # look straight up from above the scene: nothing but sky
+    cam = Camera.look_at((0, 3, 0), (0, 100, 0), (0, 0, 1), 60.0, 1.0)
+    color, *_ = _run(scene, cam, cfg, w, h)
+    from ilgpu_raytracing_tpu.ops import rays
+
+    _, d = rays.generate_primary_rays(cam, w, h)
+    expect = sky_radiance(d, cfg.sky_tint_top, cfg.sky_tint_bottom)
+    np.testing.assert_allclose(np.asarray(color), np.asarray(expect), atol=1e-5)
+
+
+def test_mirror_center_ray_reflects_sky():
+    """Frontal ray on a mirror sphere reflects straight back -> albedo *
+    sky(-d)."""
+    b = SceneBuilder()
+    # nonzero material Kd wins over sphere albedo (SceneDeviceViews.cs:147-148)
+    b.add_material(Material(kd=(0.9, 0.9, 0.9)))
+    b.add_sphere((0, 0, -5), 1.0, (0.9, 0.9, 0.9), 0, SHADING_MIRROR)
+    b.add_sphere_instance([0])
+    scene = b.commit()
+    cfg = RenderConfig(spp=1, enable_temporal_reuse=False, enable_spatial_reuse=False)
+    w = h = 9  # odd => center pixel ray passes through the center
+    cam = Camera.look_at((0, 0, 0), (0, 0, -5), (0, 1, 0), 40.0, 1.0)
+    color, *_ = _run(scene, cam, cfg, w, h)
+    center = np.asarray(color).reshape(h, w, 3)[h // 2, w // 2]
+    expect = 0.9 * np.asarray(
+        sky_radiance(jnp.asarray([[0.0, 0.0, 1.0]]), cfg.sky_tint_top, cfg.sky_tint_bottom)
+    )[0]
+    np.testing.assert_allclose(center, expect, atol=1e-3)
+
+
+def test_glass_center_ray_energy():
+    """Frontal ray through a glass sphere center: double transmission has
+    radiance-invariant eta scaling, reflections hit sky too -> expectation
+    close to sky(d) mixture; check mean over many samples."""
+    b = SceneBuilder()
+    b.add_material(Material())
+    b.add_sphere((0, 0, -5), 1.0, (1, 1, 1), 0, SHADING_GLASS, ior=1.5)
+    b.add_sphere_instance([0])
+    scene = b.commit()
+    cfg = RenderConfig(
+        spp=64, max_depth=4, enable_temporal_reuse=False,
+        enable_spatial_reuse=False,
+    )
+    w = h = 5
+    cam = Camera.look_at((0, 0, 0), (0, 0, -5), (0, 1, 0), 10.0, 1.0)
+    color, *_ = _run(scene, cam, cfg, w, h)
+    center = np.asarray(color).reshape(h, w, 3)[h // 2, w // 2]
+    sky_fwd = np.asarray(
+        sky_radiance(jnp.asarray([[0.0, 0.0, -1.0]]), cfg.sky_tint_top, cfg.sky_tint_bottom)
+    )[0]
+    # transmitted path dominates (Fresnel ~4% per interface)
+    assert np.all(center > 0.5 * sky_fwd)
+    assert np.all(center < 1.5 * sky_fwd)
+
+
+def _quadrature_sky_cosine(cfg, n_theta=4096):
+    """E_{cosine}[sky] = int sky(w) cos/pi dw for normal +y."""
+    theta = (np.arange(n_theta) + 0.5) * (0.5 * np.pi / n_theta)
+    w_y = np.cos(theta)
+    t = 0.5 * (w_y + 1.0)
+    top = np.asarray(cfg.sky_tint_top)
+    bot = np.asarray(cfg.sky_tint_bottom)
+    skyv = bot[None, :] * (1 - t)[:, None] + top[None, :] * t[:, None]
+    # pdf-weighted mean with cosine weight: 2 sin cos dtheta
+    wgt = 2.0 * np.sin(theta) * np.cos(theta)
+    return (skyv * wgt[:, None]).sum(0) * (0.5 * np.pi / n_theta)
+
+
+def test_direct_lighting_statistics_ground_plane():
+    """Mean radiance of an unoccluded lambert plane matches the analytic
+    expectation: A*(E_sky + nl*Lsun/pi) + A*E_cos[sky] (single bounce)."""
+    b = SceneBuilder()
+    b.add_material(Material(kd=(0.5, 0.5, 0.5)))
+    b.add_sphere((0, -1000.5, 0), 1000.0, (0.5, 0.5, 0.5), 0)
+    b.add_sphere_instance([0])
+    scene = b.commit()
+    cfg = RenderConfig(
+        spp=8, max_depth=1, enable_temporal_reuse=False,
+        enable_spatial_reuse=False,
+    )
+    w = h = 48
+    cam = Camera.look_at((0, 1.5, 0), (0, -0.5, 0.02), (0, 0, 1), 30.0, 1.0)
+    color, *_ = _run(scene, cam, cfg, w, h)
+    got = np.asarray(color).mean(axis=(0,))
+
+    a = 0.5
+    e_sky = _quadrature_sky_cosine(cfg)
+    sun = sky.sun_direction(cfg.sun_azimuth, cfg.sun_elevation)
+    nl = max(0.0, sun[1])
+    sun_term = nl * np.asarray(cfg.sun_radiance) / np.pi
+    expect = a * (e_sky + sun_term) + a * e_sky
+    np.testing.assert_allclose(got, expect, rtol=0.05)
+
+
+def test_reservoir_written_at_first_diffuse_vertex():
+    _, scene = build_default_scene()
+    cfg = RenderConfig(spp=1)
+    cam = Camera.create(32, 24)
+    color, depth, obj, res = _run(scene, cam, cfg, 32, 24)
+    m = np.asarray(res.m)
+    gb = integrator.primary_visibility(scene, cam, 32, 24)
+    lambert_primary = np.asarray(gb.hit) & (np.asarray(gb.shading) == 0)
+    # all primary-lambert pixels must have a fresh reservoir (m = 9 candidates)
+    assert (m[lambert_primary] >= 9).all()
+
+
+def test_reprojection_identity_static_camera():
+    cam = Camera.create(64, 48)
+    from ilgpu_raytracing_tpu.ops import rays
+    from ilgpu_raytracing_tpu.ops.restir import reproject_to_prev_pixel
+
+    o, d = rays.generate_primary_rays(cam, 64, 48)
+    pos = o + d * 5.0  # any visible point along each pixel ray
+    idx = reproject_to_prev_pixel(pos, cam, 64, 48)
+    np.testing.assert_array_equal(np.asarray(idx), np.arange(64 * 48))

@@ -46,7 +46,9 @@ def main():
 
     @jax.jit
     def frame(frame_idx, noise_key, res_prev, res_cur):
-        gb = integrator.primary_visibility(scene, cam, width, height)
+        gb = integrator.primary_visibility(
+            scene, cam, width, height, cfg.chunk_pixels
+        )
         color, depth, obj, res_out = integrator.path_trace(
             scene, gb, cam, cam, res_prev, res_cur, frame_idx, noise_key,
             sun, cfg, width, height,

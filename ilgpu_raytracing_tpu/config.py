@@ -78,6 +78,13 @@ class RenderConfig:
     blas_leaf_size: int = 4
     tlas_leaf_size: int = 2
 
+    # --- execution shape ---
+    # Pixel batches larger than this are processed in equal chunks via
+    # lax.map inside the integrator: bounds compile-unit size and peak
+    # memory (and works around a TPU fusion-pass crash on >1M-pixel
+    # while-loop graphs). 0 disables chunking.
+    chunk_pixels: int = 524288
+
     # --- progressive accumulation (rebuild-only capability; BASELINE config 4) ---
     progressive_accumulation: bool = False
 

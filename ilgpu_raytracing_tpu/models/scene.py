@@ -517,11 +517,18 @@ class SceneBuilder:
 
 
 def build_default_scene(
-    blas_leaf_size: int = 4, tlas_leaf_size: int = 2
+    blas_leaf_size: int = 4,
+    tlas_leaf_size: int = 2,
+    single_instance: bool = False,
 ) -> tuple[SceneBuilder, SceneData]:
     """The reference default scene: 2 procedural checker textures, 5
     materials, 6 spheres (ground r=1000, red, green, textured, mirror,
     glass ior=1.5), one instance per sphere (Scene.cs:83-142).
+
+    single_instance=True merges all six identity-transform spheres into one
+    BLAS/instance -- identical images (instances are all at identity), but
+    the traversal's instance scan runs one BLAS walk instead of six
+    (a TPU-side win: the scan serializes per-instance while_loops).
 
     Returns (builder, committed scene) so callers can keep mutating/refitting.
     """
@@ -548,6 +555,9 @@ def build_default_scene(
     s_glass = b.add_sphere(
         (1.8, 0.5, -0.8), 0.5, (1, 1, 1), m_white, SHADING_GLASS, ior=1.5
     )
-    for sid in (ground, s0, s1, s2, s_mirror, s_glass):
-        b.add_sphere_instance([sid])
+    if single_instance:
+        b.add_sphere_instance([ground, s0, s1, s2, s_mirror, s_glass])
+    else:
+        for sid in (ground, s0, s1, s2, s_mirror, s_glass):
+            b.add_sphere_instance([sid])
     return b, b.commit()

@@ -66,22 +66,45 @@ class GBuffer:
     hit: jnp.ndarray  # (N,) bool
 
 
-@partial(jax.jit, static_argnames=("width", "height"))
+def _pick_n_chunks(n: int, target: int) -> int:
+    """Smallest divisor count keeping chunks <= target (1 = no chunking)."""
+    if target <= 0 or n <= target:
+        return 1
+    c = -(-n // target)
+    while c <= 256:
+        if n % c == 0:
+            return c
+        c += 1
+    return 1
+
+
+@partial(jax.jit, static_argnames=("width", "height", "chunk_pixels"))
 def primary_visibility(
-    scene: SceneData, camera, width: int, height: int
+    scene: SceneData, camera, width: int, height: int, chunk_pixels: int = 0
 ) -> GBuffer:
-    o, d = rays_mod.generate_primary_rays(camera, width, height)
-    hit = traverse.trace_closest(scene, o, d)
-    surf = traverse.shade_hits(scene, hit, o, d)
-    return GBuffer(
-        pos=surf.pos,
-        normal=surf.normal,
-        albedo=surf.albedo,
-        shading=surf.shading,
-        ior=surf.ior,
-        obj_id=surf.obj_id,
-        hit=hit.hit,
-    )
+    n = width * height
+
+    def block(u, v):
+        o, d = rays_mod.generate_rays(camera, u, v)
+        hit = traverse.trace_closest(scene, o, d)
+        surf = traverse.shade_hits(scene, hit, o, d)
+        return GBuffer(
+            pos=surf.pos,
+            normal=surf.normal,
+            albedo=surf.albedo,
+            shading=surf.shading,
+            ior=surf.ior,
+            obj_id=surf.obj_id,
+            hit=hit.hit,
+        )
+
+    u, v = rays_mod.pixel_centers(width, height)
+    c = _pick_n_chunks(n, chunk_pixels)
+    if c == 1:
+        return block(u, v)
+    m = n // c
+    out = lax.map(lambda uv: block(uv[0], uv[1]), (u.reshape(c, m), v.reshape(c, m)))
+    return jax.tree_util.tree_map(lambda x: x.reshape(n, *x.shape[2:]), out)
 
 
 def _offset_origin(pos, n, d, eps):
@@ -104,12 +127,11 @@ def _merge_reservoirs(dst, src, mask):
     )
 
 
-@partial(
-    jax.jit, static_argnames=("cfg", "width", "height")
-)
-def path_trace(
+def _path_trace_block(
     scene: SceneData,
+    gb_full: GBuffer,
     gb: GBuffer,
+    pixel_idx,
     camera,
     prev_camera,
     res_prev: restir_mod.Reservoirs,
@@ -121,21 +143,20 @@ def path_trace(
     width: int,
     height: int,
 ):
-    """Shade the G-buffer with spp samples of multi-bounce transport.
-
-    Returns (color (N,3) linear, depth (N,), obj_id (N,), res_cur).
-    `res_cur_init` is the buffer being overwritten this frame (pixels whose
-    first diffuse vertex never materializes keep its stale contents, like the
-    reference's unclears ping-pong buffers).
-    """
-    n = width * height
-    pixel_idx = jnp.arange(n, dtype=jnp.int32)
+    """Path-trace one chunk of pixels. `gb`/`res_cur_init` are the chunk's
+    own slices; `gb_full`/`res_prev` stay full-image because ReSTIR's
+    temporal/spatial reuse gathers from arbitrary neighbor pixels."""
+    n = pixel_idx.shape[0]
     cam_origin = jnp.asarray(camera.origin, jnp.float32)
     sky_top = cfg.sky_tint_top
     sky_bottom = cfg.sky_tint_bottom
     sun_radiance = cfg.sun_radiance
 
-    _, primary_d = rays_mod.generate_primary_rays(camera, width, height)
+    px = pixel_idx % width
+    py = pixel_idx // width
+    pu = (px.astype(jnp.float32) + 0.5) / float(max(1, width))
+    pv = (py.astype(jnp.float32) + 0.5) / float(max(1, height))
+    _, primary_d = rays_mod.generate_rays(camera, pu, pv)
     miss_sky = sky_ops.sky_radiance(primary_d, sky_top, sky_bottom)
 
     view_i = vec.normalize(gb.pos - cam_origin)  # ViewDirFromCam (RTRay.cs:156)
@@ -180,7 +201,7 @@ def path_trace(
         en_t = reuse_ok if cfg.enable_temporal_reuse else jnp.zeros_like(reuse_ok)
         en_s = reuse_ok if cfg.enable_spatial_reuse else jnp.zeros_like(reuse_ok)
         state, res_out, sel = restir_mod.restir_direct(
-            scene, gb, res_prev, state, is_lambert, pos, nrm, alb,
+            scene, gb_full, res_prev, state, is_lambert, pos, nrm, alb,
             pixel_idx, width, height, frame, prev_camera, cam_origin,
             sun_dir, sun_radiance, sky_top, sky_bottom, en_t, en_s,
             cfg.local_candidates, cfg.delta_candidates,
@@ -289,3 +310,58 @@ def path_trace(
     color = l_sum * (1.0 / float(max(1, cfg.spp)))
     depth = vec.length(gb.pos - cam_origin)
     return color, depth, gb.obj_id, res_cur
+
+
+@partial(jax.jit, static_argnames=("cfg", "width", "height"))
+def path_trace(
+    scene: SceneData,
+    gb: GBuffer,
+    camera,
+    prev_camera,
+    res_prev: restir_mod.Reservoirs,
+    res_cur_init: restir_mod.Reservoirs,
+    frame,
+    noise_key,
+    sun_dir,
+    cfg: RenderConfig,
+    width: int,
+    height: int,
+):
+    """Shade the G-buffer with spp samples of multi-bounce transport.
+
+    Returns (color (N,3) linear, depth (N,), obj_id (N,), res_cur).
+    `res_cur_init` is the buffer being overwritten this frame (pixels whose
+    first diffuse vertex never materializes keep its stale contents, like the
+    reference's uncleared ping-pong buffers).
+
+    Pixel batches above cfg.chunk_pixels run as equal chunks under lax.map
+    (see RenderConfig.chunk_pixels); ReSTIR reuse still gathers from the
+    full-image G-buffer and previous reservoirs, so chunked and unchunked
+    execution produce identical images.
+    """
+    n = width * height
+    pixel_idx = jnp.arange(n, dtype=jnp.int32)
+    c = _pick_n_chunks(n, cfg.chunk_pixels)
+    if c == 1:
+        return _path_trace_block(
+            scene, gb, gb, pixel_idx, camera, prev_camera, res_prev,
+            res_cur_init, frame, noise_key, sun_dir, cfg, width, height,
+        )
+    m = n // c
+    split = lambda t: jax.tree_util.tree_map(
+        lambda x: x.reshape(c, m, *x.shape[1:]), t
+    )
+    xs = (split(gb), split(res_cur_init), pixel_idx.reshape(c, m))
+
+    def one(x):
+        gb_c, res_c, idx_c = x
+        return _path_trace_block(
+            scene, gb, gb_c, idx_c, camera, prev_camera, res_prev, res_c,
+            frame, noise_key, sun_dir, cfg, width, height,
+        )
+
+    color, depth, obj_id, res_cur = lax.map(one, xs)
+    unsplit = lambda t: jax.tree_util.tree_map(
+        lambda x: x.reshape(n, *x.shape[2:]), t
+    )
+    return unsplit(color), unsplit(depth), unsplit(obj_id), unsplit(res_cur)

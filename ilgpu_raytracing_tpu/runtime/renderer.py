@@ -52,7 +52,9 @@ def render_frame(
 ):
     """One pure frame step. Returns (packed_out (outN,) uint32, new_state,
     aux dict with linear low-res color/depth/obj)."""
-    gb = integrator.primary_visibility(scene, camera, in_w, in_h)
+    gb = integrator.primary_visibility(
+        scene, camera, in_w, in_h, cfg.chunk_pixels
+    )
     color, depth, obj_id, res_cur = integrator.path_trace(
         scene, gb, camera, prev_camera, state.res_prev, state.res_cur,
         frame, noise_key, sun_dir, cfg, in_w, in_h,
@@ -114,7 +116,8 @@ class Renderer:
         self.cfg = cfg or RenderConfig()
         if scene is None:
             _, scene = build_default_scene(
-                self.cfg.blas_leaf_size, self.cfg.tlas_leaf_size
+                self.cfg.blas_leaf_size, self.cfg.tlas_leaf_size,
+                single_instance=True,
             )
         self.scene = scene
         self.out_w, self.out_h = out_w, out_h

@@ -43,14 +43,43 @@ def _largest_axis(ext: np.ndarray) -> int:
 
 
 def build_skip_index_bvh(
-    bmin: np.ndarray, bmax: np.ndarray, centroid: np.ndarray, leaf_size: int
+    bmin: np.ndarray,
+    bmax: np.ndarray,
+    centroid: np.ndarray,
+    leaf_size: int,
+    method: str = "median",
+    use_native: bool | None = None,
 ):
     """Build over P primitive AABBs.
 
     Returns (node_bmin (N,3) f32, node_bmax (N,3) f32, node_ifields (N,4)
     int32, leaf_order (L,) int32) where leaf_order lists local prim ids in
     leaf-emission order and node `first` indexes into leaf_order.
+
+    method: "median" (reference parity, Scene.cs:447-456) or "sah"
+    (binned SAH, native only -- better traversal perf, rebuild-added).
+    use_native: None = auto (native C++ builder for P >= 4096 or when SAH
+    is requested, python otherwise).
     """
+    P = np.asarray(bmin).shape[0]
+    if use_native is None:
+        use_native = method == "sah" or P >= 4096
+    if use_native:
+        from ilgpu_raytracing_tpu import native as native_mod
+
+        out = native_mod.build_bvh(
+            bmin, bmax, centroid, leaf_size,
+            native_mod.BUILD_SAH if method == "sah" else native_mod.BUILD_MEDIAN,
+        )
+        if out is not None:
+            return out
+        # fall through to python (no toolchain); SAH degrades to median
+    return _build_skip_index_bvh_py(bmin, bmax, centroid, leaf_size)
+
+
+def _build_skip_index_bvh_py(
+    bmin: np.ndarray, bmax: np.ndarray, centroid: np.ndarray, leaf_size: int
+):
     P = bmin.shape[0]
     assert P > 0
     bmin = np.asarray(bmin, dtype=np.float32)

@@ -192,9 +192,11 @@ class _Instance:
 class SceneBuilder:
     """Host scene assembly + BVH build; `commit()` -> SceneData."""
 
-    def __init__(self, blas_leaf_size: int = 4, tlas_leaf_size: int = 2):
+    def __init__(self, blas_leaf_size: int = 4, tlas_leaf_size: int = 2,
+                 bvh_method: str = "median"):
         self.blas_leaf_size = blas_leaf_size
         self.tlas_leaf_size = tlas_leaf_size
+        self.bvh_method = bvh_method  # "median" (parity) or "sah" (native)
         # primitives
         self.spheres: list[dict[str, Any]] = []
         self.positions = np.zeros((0, 3), dtype=np.float32)  # mesh verts
@@ -300,7 +302,7 @@ class SceneBuilder:
         radii = np.array([self.spheres[i]["radius"] for i in ids], dtype=np.float32)
         pbmin, pbmax = bvh_mod.sphere_bounds(centers, radii)
         nbmin, nbmax, nif, order = bvh_mod.build_skip_index_bvh(
-            pbmin, pbmax, centers, self.blas_leaf_size
+            pbmin, pbmax, centers, self.blas_leaf_size, self.bvh_method
         )
         root, count = self._append_blas(
             nbmin, nbmax, nif, order, self._sphere_prim_count
@@ -371,7 +373,7 @@ class SceneBuilder:
         pbmin, pbmax = bvh_mod.triangle_bounds(v0, v1, v2)
         centroid = (v0 + v1 + v2) / 3.0
         nbmin, nbmax, nif, order = bvh_mod.build_skip_index_bvh(
-            pbmin, pbmax, centroid, self.blas_leaf_size
+            pbmin, pbmax, centroid, self.blas_leaf_size, self.bvh_method
         )
         root, count = self._append_blas(nbmin, nbmax, nif, order, self._tri_prim_count)
         self.tri_prim_idx.append((order + base_tri).astype(np.int32))

@@ -79,6 +79,11 @@ class RenderConfig:
     tlas_leaf_size: int = 2
 
     # --- execution shape ---
+    # Use the Pallas packet-traversal kernel for closest-hit/shadow rays on
+    # scenes it supports (VMEM-resident, no alpha maps). Falls back to the
+    # XLA while-loop tracer otherwise.
+    use_pallas_trace: bool = False
+
     # Pixel batches larger than this are processed in equal chunks via
     # lax.map inside the integrator: bounds compile-unit size and peak
     # memory (and works around a TPU fusion-pass crash on >1M-pixel

@@ -66,13 +66,14 @@ def build_cornell_scene(
     tess: int = 8,
     sphere_tess: tuple[int, int] = (16, 24),
     blas_leaf_size: int = 4,
+    bvh_method: str = "median",
 ):
     """Cornell box (open front, +z toward the viewer) with two interior
     blocks and one tessellated sphere -- all triangles, one mesh instance.
 
     Returns (builder, scene). Triangle count ~ 12*tess^2 + sphere tris.
     """
-    b = SceneBuilder(blas_leaf_size=blas_leaf_size)
+    b = SceneBuilder(blas_leaf_size=blas_leaf_size, bvh_method=bvh_method)
     # two-sided: procedural winding varies per face; the standard two-sided
     # normal flip (SceneDeviceViews.cs:222) orients shading normals toward
     # the viewer everywhere

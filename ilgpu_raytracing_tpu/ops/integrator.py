@@ -47,6 +47,7 @@ from ilgpu_raytracing_tpu.ops import rays as rays_mod
 from ilgpu_raytracing_tpu.ops import restir as restir_mod
 from ilgpu_raytracing_tpu.ops import sky as sky_ops
 from ilgpu_raytracing_tpu.ops import traverse
+from ilgpu_raytracing_tpu.ops.pallas import traverse_kernel as pallas_tk
 from ilgpu_raytracing_tpu.ops.sampling import sample_hemisphere_cosine
 from ilgpu_raytracing_tpu.utils import rng as rng_mod
 from ilgpu_raytracing_tpu.utils import vec
@@ -78,15 +79,30 @@ def _pick_n_chunks(n: int, target: int) -> int:
     return 1
 
 
+def _trace(scene, pscene, o, d, active=None):
+    """Closest-hit dispatch: pallas packet kernel when a prepared scene is
+    supplied, XLA while-loop tracer otherwise."""
+    if pscene is not None:
+        return pallas_tk.trace_closest_pallas(pscene, o, d, active=active)
+    return traverse.trace_closest(scene, o, d, active=active)
+
+
+def _shadow(scene, pscene, o, d, t_max, active=None):
+    if pscene is not None:
+        return pallas_tk.shadow_occlusion_pallas(pscene, o, d, t_max, active=active)
+    return traverse.shadow_occlusion(scene, o, d, t_max, active=active)
+
+
 @partial(jax.jit, static_argnames=("width", "height", "chunk_pixels"))
 def primary_visibility(
-    scene: SceneData, camera, width: int, height: int, chunk_pixels: int = 0
+    scene: SceneData, camera, width: int, height: int, chunk_pixels: int = 0,
+    pscene=None,
 ) -> GBuffer:
     n = width * height
 
     def block(u, v):
         o, d = rays_mod.generate_rays(camera, u, v)
-        hit = traverse.trace_closest(scene, o, d)
+        hit = _trace(scene, pscene, o, d)
         surf = traverse.shade_hits(scene, hit, o, d)
         return GBuffer(
             pos=surf.pos,
@@ -142,6 +158,7 @@ def _path_trace_block(
     cfg: RenderConfig,
     width: int,
     height: int,
+    pscene=None,
 ):
     """Path-trace one chunk of pixels. `gb`/`res_cur_init` are the chunk's
     own slices; `gb_full`/`res_prev` stay full-image because ReSTIR's
@@ -207,8 +224,8 @@ def _path_trace_block(
             cfg.local_candidates, cfg.delta_candidates,
         )
         shadow_o = _offset_origin(pos, nrm, sel["wi"], cfg.eps_n)
-        occluded = traverse.shadow_occlusion(
-            scene, shadow_o, sel["wi"], 1e29, active=sel["ok"]
+        occluded = _shadow(
+            scene, pscene, shadow_o, sel["wi"], 1e29, active=sel["ok"]
         )
         direct = jnp.where(
             (sel["ok"] & (~occluded))[..., None], sel["contrib"], 0.0
@@ -253,7 +270,7 @@ def _path_trace_block(
 
         trace_active = alive & (~rr_kill)
         ray_o = _offset_origin(pos, offn, new_dir, cfg.eps_n)
-        hit = traverse.trace_closest(scene, ray_o, new_dir, active=trace_active)
+        hit = _trace(scene, pscene, ray_o, new_dir, active=trace_active)
         surf = traverse.shade_hits(scene, hit, ray_o, new_dir)
         missed = trace_active & (~hit.hit)
         li = li + jnp.where(
@@ -326,6 +343,7 @@ def path_trace(
     cfg: RenderConfig,
     width: int,
     height: int,
+    pscene=None,
 ):
     """Shade the G-buffer with spp samples of multi-bounce transport.
 
@@ -346,6 +364,7 @@ def path_trace(
         return _path_trace_block(
             scene, gb, gb, pixel_idx, camera, prev_camera, res_prev,
             res_cur_init, frame, noise_key, sun_dir, cfg, width, height,
+            pscene,
         )
     m = n // c
     split = lambda t: jax.tree_util.tree_map(
@@ -357,7 +376,7 @@ def path_trace(
         gb_c, res_c, idx_c = x
         return _path_trace_block(
             scene, gb, gb_c, idx_c, camera, prev_camera, res_prev, res_c,
-            frame, noise_key, sun_dir, cfg, width, height,
+            frame, noise_key, sun_dir, cfg, width, height, pscene,
         )
 
     color, depth, obj_id, res_cur = lax.map(one, xs)

@@ -49,15 +49,16 @@ def render_frame(
     out_w: int,
     out_h: int,
     tonemap_name: str = "clamp",
+    pscene=None,
 ):
     """One pure frame step. Returns (packed_out (outN,) uint32, new_state,
     aux dict with linear low-res color/depth/obj)."""
     gb = integrator.primary_visibility(
-        scene, camera, in_w, in_h, cfg.chunk_pixels
+        scene, camera, in_w, in_h, cfg.chunk_pixels, pscene
     )
     color, depth, obj_id, res_cur = integrator.path_trace(
         scene, gb, camera, prev_camera, state.res_prev, state.res_cur,
-        frame, noise_key, sun_dir, cfg, in_w, in_h,
+        frame, noise_key, sun_dir, cfg, in_w, in_h, pscene,
     )
 
     if cfg.progressive_accumulation:
@@ -120,6 +121,12 @@ class Renderer:
                 single_instance=True,
             )
         self.scene = scene
+        self.pscene = None
+        if self.cfg.use_pallas_trace:
+            from ilgpu_raytracing_tpu.ops.pallas import traverse_kernel as _tk
+
+            if _tk.supports_scene(scene):
+                self.pscene = _tk.prepare(scene)
         self.out_w, self.out_h = out_w, out_h
         self.in_w, self.in_h = self.cfg.internal_resolution(out_w, out_h)
         if camera is None:
@@ -200,6 +207,7 @@ class Renderer:
             self.out_w,
             self.out_h,
             self.tonemap_name,
+            self.pscene,
         )
         self.state = new_state
         self.prev_camera = self.camera

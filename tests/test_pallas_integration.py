@@ -1,0 +1,42 @@
+"""Full-pipeline equivalence: pallas-traced frames vs XLA-traced frames."""
+
+import dataclasses
+
+import numpy as np
+
+from ilgpu_raytracing_tpu.config import RenderConfig
+from ilgpu_raytracing_tpu.models.cornell import build_cornell_scene, cornell_camera
+from ilgpu_raytracing_tpu.runtime.renderer import Renderer
+
+
+def test_renderer_pallas_vs_xla_close():
+    _, scene = build_cornell_scene(tess=4, sphere_tess=(8, 12), blas_leaf_size=8)
+    cam = cornell_camera(96, 64)
+    base = RenderConfig(spp=1, max_depth=2, rng_lock_noise=0)  # locked noise
+    frames = {}
+    for use_pallas in (False, True):
+        cfg = dataclasses.replace(base, use_pallas_trace=use_pallas)
+        r = Renderer(out_w=96, out_h=64, cfg=cfg, scene=scene, camera=cam)
+        if use_pallas:
+            assert r.pscene is not None
+        r.render_frames(2)
+        frames[use_pallas] = r.frame_rgb().astype(np.int32)
+    diff = np.abs(frames[True] - frames[False])
+    # identical up to knife's-edge rays (coplanar quad diagonals)
+    frac_diff = (diff.max(axis=-1) > 2).mean()
+    assert frac_diff < 0.01, f"pallas/XLA frames differ on {frac_diff:.3%} pixels"
+
+
+def test_unsupported_scene_falls_back():
+    import jax.numpy as jnp
+
+    from ilgpu_raytracing_tpu.models.scene import SceneData, build_default_scene
+    from ilgpu_raytracing_tpu.ops.pallas import traverse_kernel as tk
+
+    _, scene = build_default_scene()
+    huge = scene.replace(has_alpha=True)
+    assert not tk.supports_scene(huge)
+    cfg = RenderConfig(spp=1, max_depth=1, use_pallas_trace=True)
+    r = Renderer(out_w=32, out_h=24, cfg=cfg, scene=huge)
+    assert r.pscene is None  # silently falls back to the XLA tracer
+    r.render()

@@ -46,6 +46,7 @@ from ilgpu_raytracing_tpu.models.scene import SceneData
 from ilgpu_raytracing_tpu.ops import rays as rays_mod
 from ilgpu_raytracing_tpu.ops import restir as restir_mod
 from ilgpu_raytracing_tpu.ops import sky as sky_ops
+from ilgpu_raytracing_tpu.ops import sort as sort_mod
 from ilgpu_raytracing_tpu.ops import traverse
 from ilgpu_raytracing_tpu.ops.pallas import traverse_kernel as pallas_tk
 from ilgpu_raytracing_tpu.ops.sampling import sample_hemisphere_cosine
@@ -79,18 +80,40 @@ def _pick_n_chunks(n: int, target: int) -> int:
     return 1
 
 
-def _trace(scene, pscene, o, d, active=None):
+def _scene_bounds(pscene):
+    lo = [min(m[3][k] for m in pscene.meta) for k in range(3)]
+    hi = [max(m[3][3 + k] for m in pscene.meta) for k in range(3)]
+    return tuple(lo), tuple(hi)
+
+
+def _trace(scene, pscene, o, d, active=None, coherent=True):
     """Closest-hit dispatch: pallas packet kernel when a prepared scene is
-    supplied, XLA while-loop tracer otherwise."""
-    if pscene is not None:
+    supplied, XLA while-loop tracer otherwise. Incoherent batches (bounce
+    rays) are morton/octant-sorted first -- packet traversal throughput
+    depends on tile coherence (ops/sort.py)."""
+    if pscene is None:
+        return traverse.trace_closest(scene, o, d, active=active)
+    if coherent:
         return pallas_tk.trace_closest_pallas(pscene, o, d, active=active)
-    return traverse.trace_closest(scene, o, d, active=active)
+    lo, hi = _scene_bounds(pscene)
+    return sort_mod.sorted_trace(
+        lambda a, b, c: pallas_tk.trace_closest_pallas(pscene, a, b, active=c),
+        o, d, active, lo, hi,
+    )
 
 
-def _shadow(scene, pscene, o, d, t_max, active=None):
-    if pscene is not None:
+def _shadow(scene, pscene, o, d, t_max, active=None, coherent=True):
+    if pscene is None:
+        return traverse.shadow_occlusion(scene, o, d, t_max, active=active)
+    if coherent:
         return pallas_tk.shadow_occlusion_pallas(pscene, o, d, t_max, active=active)
-    return traverse.shadow_occlusion(scene, o, d, t_max, active=active)
+    lo, hi = _scene_bounds(pscene)
+    return sort_mod.sorted_trace(
+        lambda a, b, c: pallas_tk.shadow_occlusion_pallas(
+            pscene, a, b, t_max, active=c
+        ),
+        o, d, active, lo, hi,
+    )
 
 
 @partial(jax.jit, static_argnames=("width", "height", "chunk_pixels"))
@@ -225,7 +248,8 @@ def _path_trace_block(
         )
         shadow_o = _offset_origin(pos, nrm, sel["wi"], cfg.eps_n)
         occluded = _shadow(
-            scene, pscene, shadow_o, sel["wi"], 1e29, active=sel["ok"]
+            scene, pscene, shadow_o, sel["wi"], 1e29, active=sel["ok"],
+            coherent=False,
         )
         direct = jnp.where(
             (sel["ok"] & (~occluded))[..., None], sel["contrib"], 0.0
@@ -270,7 +294,9 @@ def _path_trace_block(
 
         trace_active = alive & (~rr_kill)
         ray_o = _offset_origin(pos, offn, new_dir, cfg.eps_n)
-        hit = _trace(scene, pscene, ray_o, new_dir, active=trace_active)
+        hit = _trace(
+            scene, pscene, ray_o, new_dir, active=trace_active, coherent=False
+        )
         surf = traverse.shade_hits(scene, hit, ray_o, new_dir)
         missed = trace_active & (~hit.hit)
         li = li + jnp.where(

@@ -56,21 +56,23 @@ def build_skip_index_bvh(
     int32, leaf_order (L,) int32) where leaf_order lists local prim ids in
     leaf-emission order and node `first` indexes into leaf_order.
 
-    method: "median" (reference parity, Scene.cs:447-456) or "sah"
-    (binned SAH, native only -- better traversal perf, rebuild-added).
-    use_native: None = auto (native C++ builder for P >= 4096 or when SAH
-    is requested, python otherwise).
+    method: "median" (reference parity, Scene.cs:447-456), "sah" (binned
+    SAH -- better traversal quality), or "lbvh" (morton-order build --
+    fastest rebuild for dynamic topology; BASELINE config 3). sah/lbvh are
+    native-only and degrade to median without a toolchain.
+    use_native: None = auto (native C++ builder for P >= 4096 or when
+    sah/lbvh is requested, python otherwise).
     """
     P = np.asarray(bmin).shape[0]
     if use_native is None:
-        use_native = method == "sah" or P >= 4096
+        use_native = method in ("sah", "lbvh") or P >= 4096
     if use_native:
         from ilgpu_raytracing_tpu import native as native_mod
 
-        out = native_mod.build_bvh(
-            bmin, bmax, centroid, leaf_size,
-            native_mod.BUILD_SAH if method == "sah" else native_mod.BUILD_MEDIAN,
-        )
+        method_id = {"median": native_mod.BUILD_MEDIAN,
+                     "sah": native_mod.BUILD_SAH,
+                     "lbvh": native_mod.BUILD_LBVH}[method]
+        out = native_mod.build_bvh(bmin, bmax, centroid, leaf_size, method_id)
         if out is not None:
             return out
         # fall through to python (no toolchain); SAH degrades to median

@@ -187,6 +187,8 @@ class _Instance:
     scale: float
     bmin: np.ndarray
     bmax: np.ndarray
+    vertex_first: int = 0  # mesh instances: slice into builder.positions
+    vertex_count: int = 0
 
 
 class SceneBuilder:
@@ -393,6 +395,8 @@ class SceneBuilder:
                 scale=float(scale),
                 bmin=wmin,
                 bmax=wmax,
+                vertex_first=base_vertex,
+                vertex_count=positions.shape[0],
             )
         )
         return len(self.instances) - 1
@@ -563,3 +567,69 @@ def build_default_scene(
         for sid in (ground, s0, s1, s2, s_mirror, s_glass):
             b.add_sphere_instance([sid])
     return b, b.commit()
+
+
+def refit_mesh_instance(
+    builder: SceneBuilder, scene: SceneData, inst_index: int,
+    new_positions: np.ndarray,
+) -> SceneData:
+    """Per-frame BVH refit for an animated mesh instance (BASELINE config 4).
+
+    Replaces the instance's vertex positions, refits its BLAS bounds
+    bottom-up WITHOUT rebuilding topology (the capability the reference's
+    RebuildPolicy advertises but never implements, BvhManager.cs:27),
+    recomputes baked triangle rows and instance world bounds, rebuilds the
+    tiny TLAS, and returns an updated SceneData. The builder's host mirrors
+    are updated so refits compound across frames.
+    """
+    inst = builder.instances[inst_index]
+    assert inst.type == BLAS_TRI_MESH, "refit targets mesh instances"
+    new_positions = np.asarray(new_positions, dtype=np.float32)
+    assert new_positions.shape == (inst.vertex_count, 3)
+
+    v0_slice = slice(inst.vertex_first, inst.vertex_first + inst.vertex_count)
+    builder.positions[v0_slice] = new_positions
+
+    t_slice = slice(inst.prim_first, inst.prim_first + inst.prim_count)
+    tris = builder.tri_indices[t_slice]
+    v0 = builder.positions[tris[:, 0]]
+    v1 = builder.positions[tris[:, 1]]
+    v2 = builder.positions[tris[:, 2]]
+    pbmin, pbmax = bvh_mod.triangle_bounds(v0, v1, v2)
+
+    # refit the instance's node slice (children are absolute; localize)
+    root = inst.blas_root
+    count = inst.blas_node_count
+    nif_all = np.asarray(scene.blas_ifields)
+    nif = nif_all[root : root + count].copy()
+    inner = nif[:, bvh_mod.LEFT] >= 0
+    nif[inner, bvh_mod.LEFT] -= root
+    # leaf `first` is absolute into the global tri_prim_idx; map the global
+    # tri id back to this instance's local prim row
+    leaf_order_global = np.asarray(scene.tri_prim_idx)
+    leaf_order_local = leaf_order_global - inst.prim_first
+    nb, nx = bvh_mod.refit_bvh(nif, leaf_order_local, pbmin, pbmax)
+
+    wmin, wmax = transform_aabb(inst.o2w, pbmin.min(axis=0), pbmax.max(axis=0))
+    inst.bmin, inst.bmax = wmin, wmax
+
+    inst_bmin = np.stack([i.bmin for i in builder.instances])
+    inst_bmax = np.stack([i.bmax for i in builder.instances])
+    centroids = 0.5 * (inst_bmin + inst_bmax)
+    t_bmin, t_bmax, t_if, t_order = bvh_mod.build_skip_index_bvh(
+        inst_bmin, inst_bmax, centroids, builder.tlas_leaf_size
+    )
+
+    return scene.replace(
+        blas_bmin=scene.blas_bmin.at[root : root + count].set(jnp.asarray(nb)),
+        blas_bmax=scene.blas_bmax.at[root : root + count].set(jnp.asarray(nx)),
+        tri_v0=scene.tri_v0.at[t_slice].set(jnp.asarray(v0)),
+        tri_e1=scene.tri_e1.at[t_slice].set(jnp.asarray(v1 - v0)),
+        tri_e2=scene.tri_e2.at[t_slice].set(jnp.asarray(v2 - v0)),
+        inst_bmin=jnp.asarray(inst_bmin),
+        inst_bmax=jnp.asarray(inst_bmax),
+        tlas_bmin=jnp.asarray(t_bmin),
+        tlas_bmax=jnp.asarray(t_bmax),
+        tlas_ifields=jnp.asarray(t_if, jnp.int32),
+        tlas_instance_indices=jnp.asarray(t_order, jnp.int32),
+    )

@@ -25,6 +25,7 @@ _tried = False
 
 BUILD_MEDIAN = 0
 BUILD_SAH = 1
+BUILD_LBVH = 2
 
 
 def _load():

@@ -20,12 +20,21 @@
 
 namespace {
 
+inline uint32_t expand_bits10(uint32_t v) {
+  v = (v * 0x00010001u) & 0xFF0000FFu;
+  v = (v * 0x00000101u) & 0x0F00F00Fu;
+  v = (v * 0x00000011u) & 0xC30C30C3u;
+  v = (v * 0x00000005u) & 0x49249249u;
+  return v;
+}
+
 struct Builder {
   const float* bmin;      // (P,3)
   const float* bmax;      // (P,3)
   const float* centroid;  // (P,3)
   int32_t leaf_size;
-  int method;  // 0 = median split, 1 = binned SAH
+  int method;  // 0 = median split, 1 = binned SAH, 2 = LBVH (morton order)
+  std::vector<uint32_t> morton;  // method 2: per-prim 30-bit codes
   std::vector<int32_t> ids;
   float* node_bmin;      // (cap,3)
   float* node_bmax;      // (cap,3)
@@ -135,6 +144,47 @@ struct Builder {
     return mid;
   }
 
+  void compute_morton(int32_t prim_count) {
+    float lo[3] = {3.4e38f, 3.4e38f, 3.4e38f};
+    float hi[3] = {-3.4e38f, -3.4e38f, -3.4e38f};
+    for (int32_t i = 0; i < prim_count; ++i)
+      for (int a = 0; a < 3; ++a) {
+        lo[a] = std::min(lo[a], centroid[3 * i + a]);
+        hi[a] = std::max(hi[a], centroid[3 * i + a]);
+      }
+    float inv[3];
+    for (int a = 0; a < 3; ++a)
+      inv[a] = (hi[a] - lo[a]) > 1e-12f ? 1023.f / (hi[a] - lo[a]) : 0.f;
+    morton.resize(prim_count);
+    for (int32_t i = 0; i < prim_count; ++i) {
+      uint32_t q[3];
+      for (int a = 0; a < 3; ++a) {
+        float t = (centroid[3 * i + a] - lo[a]) * inv[a];
+        q[a] = uint32_t(std::min(1023.f, std::max(0.f, t)));
+      }
+      morton[i] = (expand_bits10(q[0]) << 2) | (expand_bits10(q[1]) << 1) |
+                  expand_bits10(q[2]);
+    }
+  }
+
+  // LBVH split: highest differing morton bit over [b, e) (Karras-style
+  // bracketing on the pre-sorted order); falls back to median when the
+  // whole range shares one code.
+  int32_t* lbvh_split(int32_t* b, int32_t* e) {
+    const uint32_t first = morton[*b];
+    const uint32_t last = morton[*(e - 1)];
+    if (first == last) return b + (e - b) / 2;
+    const uint32_t diff = first ^ last;
+    int bit = 31;
+    while (bit >= 0 && !((diff >> bit) & 1u)) --bit;
+    const uint32_t mask = 1u << bit;
+    // first element whose bit is set (order is sorted by morton)
+    int32_t* mid = std::partition_point(
+        b, e, [&](int32_t id) { return (morton[id] & mask) == 0; });
+    if (mid == b || mid == e) return b + (e - b) / 2;
+    return mid;
+  }
+
   int32_t build(int32_t* b, int32_t* e, int32_t parent_skip) {
     const int32_t node = node_count++;
     float mn[3], mx[3];
@@ -160,6 +210,7 @@ struct Builder {
     const int axis = largest_axis(ext);
     int32_t* mid = nullptr;
     if (method == 1) mid = sah_split(b, e, mn, mx, axis);
+    if (method == 2) mid = lbvh_split(b, e);
     if (mid == nullptr) {
       mid = b + count / 2;
       std::nth_element(b, mid, e, [&](int32_t a, int32_t c) {
@@ -199,6 +250,12 @@ int32_t sc_build_bvh(const float* bmin, const float* bmax,
   bld.leaf_order = leaf_order;
   bld.ids.resize(prim_count);
   for (int32_t i = 0; i < prim_count; ++i) bld.ids[i] = i;
+  if (method == 2) {
+    bld.compute_morton(prim_count);
+    std::sort(bld.ids.begin(), bld.ids.end(), [&](int32_t a, int32_t b2) {
+      return bld.morton[a] < bld.morton[b2];
+    });
+  }
   bld.build(bld.ids.data(), bld.ids.data() + prim_count, -1);
   return bld.node_count;
 }

@@ -73,3 +73,59 @@ def test_leaf_size_respected():
     counts = nif[:, 2]
     assert counts.max() <= 4
     assert (counts[counts > 0] >= 1).all()
+
+
+def test_refit_mesh_instance_traversal():
+    """Animated mesh: refit must produce the same hits as a fresh rebuild."""
+    import jax.numpy as jnp
+
+    from ilgpu_raytracing_tpu.models.materials import Material
+    from ilgpu_raytracing_tpu.models.scene import SceneBuilder, refit_mesh_instance
+    from ilgpu_raytracing_tpu.ops import traverse
+
+    rs = np.random.RandomState(3)
+    V = rs.randn(80, 3).astype(np.float32)
+    T = rs.randint(0, 80, size=(120, 3)).astype(np.int32)
+    keep = (T[:, 0] != T[:, 1]) & (T[:, 1] != T[:, 2]) & (T[:, 0] != T[:, 2])
+    T = T[keep]
+
+    b = SceneBuilder()
+    b.add_material(Material())
+    b.add_sphere((5, 0, 0), 1.0)
+    b.add_sphere_instance([0])
+    b.add_mesh_instance(V, T)
+    scene = b.commit()
+
+    V2 = (V + rs.randn(80, 3).astype(np.float32) * 0.3).astype(np.float32)
+    scene_refit = refit_mesh_instance(b, scene, 1, V2)
+
+    # oracle: rebuild from scratch with the moved vertices
+    b2 = SceneBuilder()
+    b2.add_material(Material())
+    b2.add_sphere((5, 0, 0), 1.0)
+    b2.add_sphere_instance([0])
+    b2.add_mesh_instance(V2, T)
+    scene_rebuilt = b2.commit()
+
+    o = jnp.asarray(rs.randn(256, 3).astype(np.float32) * 2)
+    d = jnp.asarray(rs.randn(256, 3).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    h1 = traverse.trace_closest(scene_refit, o, d)
+    h2 = traverse.trace_closest(scene_rebuilt, o, d)
+    np.testing.assert_array_equal(np.asarray(h1.hit), np.asarray(h2.hit))
+    np.testing.assert_allclose(
+        np.asarray(h1.t), np.asarray(h2.t), rtol=1e-5, atol=1e-5
+    )
+    # and a second compounding refit
+    V3 = (V2 + 0.1).astype(np.float32)
+    scene_refit2 = refit_mesh_instance(b, scene_refit, 1, V3)
+    b3 = SceneBuilder()
+    b3.add_material(Material())
+    b3.add_sphere((5, 0, 0), 1.0)
+    b3.add_sphere_instance([0])
+    b3.add_mesh_instance(V3, T)
+    h3 = traverse.trace_closest(scene_refit2, o, d)
+    h4 = traverse.trace_closest(b3.commit(), o, d)
+    np.testing.assert_allclose(
+        np.asarray(h3.t), np.asarray(h4.t), rtol=1e-5, atol=1e-5
+    )

@@ -30,7 +30,7 @@ def _walk_collect(nif, leaf_order):
     return visited, prims
 
 
-@pytest.mark.parametrize("method", ["median", "sah"])
+@pytest.mark.parametrize("method", ["median", "sah", "lbvh"])
 def test_native_build_contract(method):
     for n in (1, 2, 7, 64, 1000):
         bmin, bmax, c = _random_boxes(n, seed=n)

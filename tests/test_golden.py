@@ -1,0 +1,57 @@
+"""Golden-image regression tests.
+
+Goldens are locked-noise 64x64 CPU renders committed as fp16 npy. The
+comparison is tolerant of tiny numeric drift (jax version bumps) but
+catches real regressions: transport changes, traversal bugs, RNG stream
+changes.
+"""
+
+import os
+
+import numpy as np
+
+from ilgpu_raytracing_tpu.config import RenderConfig
+from ilgpu_raytracing_tpu.models.camera import Camera
+from ilgpu_raytracing_tpu.models.cornell import build_cornell_scene, cornell_camera
+from ilgpu_raytracing_tpu.models.scene import build_default_scene
+from ilgpu_raytracing_tpu.ops import integrator, sky
+from ilgpu_raytracing_tpu.ops.restir import Reservoirs
+
+_G = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def _render(scene, cam, w, h, frames=2):
+    cfg = RenderConfig(spp=2, max_depth=3)
+    n = w * h
+    ra, rb = Reservoirs.empty(n), Reservoirs.empty(n)
+    sun = sky.sun_direction(cfg.sun_azimuth, cfg.sun_elevation)
+    color, prev = None, cam
+    for f in range(frames):
+        gb = integrator.primary_visibility(scene, cam, w, h)
+        rp, rc = (ra, rb) if f % 2 == 0 else (rb, ra)
+        color, *_, rc = integrator.path_trace(
+            scene, gb, cam, prev, rp, rc, f, np.uint32(1234), sun, cfg, w, h
+        )
+        if f % 2 == 0:
+            rb = rc
+        else:
+            ra = rc
+    return np.asarray(color, np.float32)
+
+
+def _check(got, golden_name):
+    want = np.load(os.path.join(_G, golden_name)).astype(np.float32)
+    diff = np.abs(got - want)
+    assert diff.mean() < 0.02, f"mean drift {diff.mean():.4f}"
+    frac_big = (diff.max(axis=-1) > 0.1).mean()
+    assert frac_big < 0.01, f"{frac_big:.3%} pixels changed materially"
+
+
+def test_golden_default_scene():
+    _, scene = build_default_scene()
+    _check(_render(scene, Camera.create(64, 64), 64, 64), "default_scene_64.npy")
+
+
+def test_golden_cornell():
+    _, scene = build_cornell_scene(tess=4, sphere_tess=(8, 12))
+    _check(_render(scene, cornell_camera(64, 64), 64, 64), "cornell_64.npy")

@@ -205,7 +205,7 @@ def _path_trace_block(
         # ior <= 0 falls back to 1.5 (RTRay.cs:251-252)
         return jnp.where(ior > 0.0, ior, 1.5)
 
-    def bounce_step(carry, depth):
+    def bounce_step(carry, depth, allow_reuse: bool):
         (pos, nrm, alb, shade, ior, thr, li, alive, view, state, wrote,
          res_cur) = carry
 
@@ -237,14 +237,31 @@ def _path_trace_block(
         )
 
         # ---- lambert branch: ReSTIR DI (RTRay.cs:277-298) ----
+        # reuse only runs on the peeled first bounce: reservoir gathers are
+        # the costliest XLA ops in the frame, and reuse is only live at the
+        # first diffuse vertex. Divergence from the reference: pixels whose
+        # first diffuse vertex sits behind a specular chain lose reuse there
+        # (candidates-only RIS instead -- still unbiased).
         reuse_ok = is_lambert & (~wrote)
-        en_t = reuse_ok if cfg.enable_temporal_reuse else jnp.zeros_like(reuse_ok)
-        en_s = reuse_ok if cfg.enable_spatial_reuse else jnp.zeros_like(reuse_ok)
+        en_t = (
+            reuse_ok
+            if (cfg.enable_temporal_reuse and allow_reuse)
+            else jnp.zeros_like(reuse_ok)
+        )
+        en_s = (
+            reuse_ok
+            if (cfg.enable_spatial_reuse and allow_reuse)
+            else jnp.zeros_like(reuse_ok)
+        )
+        static_reuse = allow_reuse and (
+            cfg.enable_temporal_reuse or cfg.enable_spatial_reuse
+        )
         state, res_out, sel = restir_mod.restir_direct(
             scene, gb_full, res_prev, state, is_lambert, pos, nrm, alb,
             pixel_idx, width, height, frame, prev_camera, cam_origin,
             sun_dir, sun_radiance, sky_top, sky_bottom, en_t, en_s,
             cfg.local_candidates, cfg.delta_candidates,
+            static_reuse=static_reuse,
         )
         shadow_o = _offset_origin(pos, nrm, sel["wi"], cfg.eps_n)
         occluded = _shadow(
@@ -338,9 +355,14 @@ def _path_trace_block(
             jnp.zeros((n,), dtype=bool),
             res_cur,
         )
-        out, _ = lax.scan(
-            bounce_step, init, jnp.arange(cfg.max_depth, dtype=jnp.int32)
-        )
+        # peel bounce 0 (reuse-enabled), scan the rest (candidates-only)
+        out, _ = bounce_step(init, jnp.int32(0), allow_reuse=True)
+        if cfg.max_depth > 1:
+            out, _ = lax.scan(
+                lambda c, dd: bounce_step(c, dd, allow_reuse=False),
+                out,
+                jnp.arange(1, cfg.max_depth, dtype=jnp.int32),
+            )
         li = out[6]
         res_cur = out[11]
         return (res_cur, l_accum + vec.safe_color(li, cfg.safe_color_max)), None

@@ -217,6 +217,7 @@ def restir_direct(
     enable_spatial,
     local_candidates: int = 8,
     delta_candidates: int = 1,
+    static_reuse: bool = True,
 ):
     """Candidate generation + reuse + selection (RTRay.cs:437-516).
 
@@ -224,6 +225,11 @@ def restir_direct(
     shading quantities; the caller performs the single visibility ray and
     applies `sel.contrib` where visible (final step RTRay.cs:518-539 is split
     out so the integrator can batch the shadow rays).
+
+    static_reuse=False omits the temporal/spatial import code entirely
+    (candidates-only RIS): reservoir gathers are the single most expensive
+    XLA op in the frame (~60% of frame time at 1080p measured on v5e), and
+    deeper vertices never reuse anyway (RTRay.cs:282-287).
     """
     total = local_candidates + delta_candidates
     mix_local = float(local_candidates) / float(total)
@@ -257,33 +263,36 @@ def restir_direct(
         res, state, wi_sun, pdf_sel, li_sun, s, LIGHT_SUN, active
     )
 
-    # (3) temporal reuse via camera reprojection
-    prev_idx = reproject_to_prev_pixel(pos, prev_cam, width, height)
-    state, res = _import_from_prev(
-        res, state, res_prev, prev_idx, active & enable_temporal, gb,
-        cam_origin, pixel_idx, n, albedo, mix_local, mix_delta,
-        sun_radiance, sky_top, sky_bottom,
-    )
-
-    # (4) spatial reuse: 8 prev-frame neighbors, hashed rotation/radius
-    h = rng_mod.hash32(
-        rng_mod.u32(pixel_idx)
-        ^ rng_mod.hash32(rng_mod.u32(frame) ^ rng_mod.hash32(rng_mod.u32(0xB31F5AB1)))
-    )
-    rot = (h & rng_mod.u32(3)).astype(jnp.int32)
-    radius = 1 + ((h >> rng_mod.u32(2)) & rng_mod.u32(1)).astype(jnp.int32)
-    x0 = pixel_idx % width
-    y0 = pixel_idx // width
-    for dx, dy in _neighbor_offsets(rot, radius):
-        nx = x0 + dx
-        ny = y0 + dy
-        inside = (nx >= 0) & (nx < width) & (ny >= 0) & (ny < height)
-        n_idx = jnp.where(inside, ny * width + nx, -1)
+    if static_reuse:
+        # (3) temporal reuse via camera reprojection
+        prev_idx = reproject_to_prev_pixel(pos, prev_cam, width, height)
         state, res = _import_from_prev(
-            res, state, res_prev, n_idx, active & enable_spatial & inside, gb,
+            res, state, res_prev, prev_idx, active & enable_temporal, gb,
             cam_origin, pixel_idx, n, albedo, mix_local, mix_delta,
             sun_radiance, sky_top, sky_bottom,
         )
+
+        # (4) spatial reuse: 8 prev-frame neighbors, hashed rotation/radius
+        h = rng_mod.hash32(
+            rng_mod.u32(pixel_idx)
+            ^ rng_mod.hash32(
+                rng_mod.u32(frame) ^ rng_mod.hash32(rng_mod.u32(0xB31F5AB1))
+            )
+        )
+        rot = (h & rng_mod.u32(3)).astype(jnp.int32)
+        radius = 1 + ((h >> rng_mod.u32(2)) & rng_mod.u32(1)).astype(jnp.int32)
+        x0 = pixel_idx % width
+        y0 = pixel_idx // width
+        for dx, dy in _neighbor_offsets(rot, radius):
+            nx = x0 + dx
+            ny = y0 + dy
+            inside = (nx >= 0) & (nx < width) & (ny >= 0) & (ny < height)
+            n_idx = jnp.where(inside, ny * width + nx, -1)
+            state, res = _import_from_prev(
+                res, state, res_prev, n_idx, active & enable_spatial & inside,
+                gb, cam_origin, pixel_idx, n, albedo, mix_local, mix_delta,
+                sun_radiance, sky_top, sky_bottom,
+            )
 
     # (5) selection shading (visibility applied by the caller)
     ok = active & (res.m > 0) & (res.w_sum > 0.0) & (res.w > 0.0)

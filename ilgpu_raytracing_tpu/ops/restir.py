@@ -141,13 +141,65 @@ def _spatial_compatible(gb, cam_origin, idx_a, idx_b, n_a):
     return same_obj | ((ndot >= 0.85) & (rel < 0.05))
 
 
-def _import_from_prev(res, state, res_prev: Reservoirs, prev_idx, mask, gb,
-                      cam_origin, cur_idx, n, albedo, mix_local, mix_delta,
-                      sun_radiance, sky_top, sky_bottom):
-    """Import + re-score a prev-frame reservoir (RTRay.cs:407-435)."""
-    valid = mask & (prev_idx >= 0) & (prev_idx < res_prev.m.shape[0])
-    valid = valid & _spatial_compatible(gb, cam_origin, cur_idx, prev_idx, n)
-    pr = res_prev.gather(prev_idx)
+def _pack_reservoirs(res_prev: Reservoirs):
+    """(N,12) row layout so each import costs ONE gather instead of seven
+    (gathers dominate the reuse cost on TPU). m/light_id ride as exact
+    small floats."""
+    return jnp.concatenate(
+        [
+            res_prev.L,
+            res_prev.wi,
+            res_prev.pdf[:, None],
+            res_prev.w[:, None],
+            res_prev.w_sum[:, None],
+            res_prev.m.astype(jnp.float32)[:, None],
+            res_prev.light_id.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+
+
+def _pack_gbuffer(gb):
+    """(N,7) rows: pos(3) normal(3) obj_id-as-float-bits."""
+    import jax
+
+    obj_f = jax.lax.bitcast_convert_type(gb.obj_id, jnp.float32)
+    return jnp.concatenate([gb.pos, gb.normal, obj_f[:, None]], axis=1)
+
+
+def _import_from_prev(res, state, res_packed, gb_packed, own_obj, own_z,
+                      prev_idx, mask, cam_origin, n, albedo,
+                      mix_local, mix_delta, sun_radiance, sky_top, sky_bottom):
+    """Import + re-score a prev-frame reservoir (RTRay.cs:407-435).
+
+    Two row-gathers per import: the packed prev reservoir and the packed
+    neighbor G-buffer row (compatibility test, RTRay.cs:362-374, with the
+    own-pixel side precomputed by the caller)."""
+    import jax
+
+    n_res = res_packed.shape[0]
+    valid = mask & (prev_idx >= 0) & (prev_idx < n_res)
+    safe = jnp.maximum(prev_idx, 0)
+
+    gbr = jnp.take(gb_packed, safe, axis=0, mode="clip")
+    obj_b = jax.lax.bitcast_convert_type(gbr[:, 6], jnp.int32)
+    n_b = vec.normalize(gbr[:, 3:6])
+    z_b = vec.length(gbr[:, 0:3] - cam_origin)
+    ndot = vec.dot(n, n_b)
+    rel = jnp.abs(own_z - z_b) / jnp.maximum(1e-3, own_z)
+    compatible = (own_obj == obj_b) | ((ndot >= 0.85) & (rel < 0.05))
+    valid = valid & compatible
+
+    row = jnp.take(res_packed, safe, axis=0, mode="clip")
+    pr = Reservoirs(
+        L=row[:, 0:3],
+        wi=row[:, 3:6],
+        pdf=row[:, 6],
+        w=row[:, 7],
+        w_sum=row[:, 8],
+        m=row[:, 9].astype(jnp.int32),
+        light_id=row[:, 10].astype(jnp.int32),
+    )
     valid = valid & (pr.m > 0) & (pr.w > 0.0) & (pr.w_sum > 0.0)
 
     wi = pr.wi
@@ -264,12 +316,18 @@ def restir_direct(
     )
 
     if static_reuse:
+        res_packed = _pack_reservoirs(res_prev)
+        gb_packed = _pack_gbuffer(gb)
+        take = lambda a: jnp.take(a, pixel_idx, axis=0, mode="clip")
+        own_obj = take(gb.obj_id)
+        own_z = vec.length(take(gb.pos) - cam_origin)
+
         # (3) temporal reuse via camera reprojection
         prev_idx = reproject_to_prev_pixel(pos, prev_cam, width, height)
         state, res = _import_from_prev(
-            res, state, res_prev, prev_idx, active & enable_temporal, gb,
-            cam_origin, pixel_idx, n, albedo, mix_local, mix_delta,
-            sun_radiance, sky_top, sky_bottom,
+            res, state, res_packed, gb_packed, own_obj, own_z, prev_idx,
+            active & enable_temporal, cam_origin, n, albedo, mix_local,
+            mix_delta, sun_radiance, sky_top, sky_bottom,
         )
 
         # (4) spatial reuse: 8 prev-frame neighbors, hashed rotation/radius
@@ -289,9 +347,9 @@ def restir_direct(
             inside = (nx >= 0) & (nx < width) & (ny >= 0) & (ny < height)
             n_idx = jnp.where(inside, ny * width + nx, -1)
             state, res = _import_from_prev(
-                res, state, res_prev, n_idx, active & enable_spatial & inside,
-                gb, cam_origin, pixel_idx, n, albedo, mix_local, mix_delta,
-                sun_radiance, sky_top, sky_bottom,
+                res, state, res_packed, gb_packed, own_obj, own_z, n_idx,
+                active & enable_spatial & inside, cam_origin, n, albedo,
+                mix_local, mix_delta, sun_radiance, sky_top, sky_bottom,
             )
 
     # (5) selection shading (visibility applied by the caller)

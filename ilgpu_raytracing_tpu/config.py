@@ -80,9 +80,14 @@ class RenderConfig:
 
     # --- execution shape ---
     # Use the Pallas packet-traversal kernel for closest-hit/shadow rays on
-    # scenes it supports (VMEM-resident, no alpha maps). Falls back to the
-    # XLA while-loop tracer otherwise.
-    use_pallas_trace: bool = False
+    # scenes it supports (VMEM-resident, no alpha maps); falls back to the
+    # XLA while-loop tracer otherwise. Default ON: besides being faster, the
+    # XLA tracer exhibits a TPU-specific numeric artifact (distance-banded
+    # visibility rings -- approximate-reciprocal lowering in the slab/MT
+    # math under the platform's excess-precision flags) that the Mosaic
+    # kernel does not. CPU execution of the XLA tracer is clean; it remains
+    # the correctness oracle and the alpha-cutout / huge-scene path.
+    use_pallas_trace: bool = True
 
     # Pixel batches larger than this are processed in equal chunks via
     # lax.map inside the integrator: bounds compile-unit size and peak

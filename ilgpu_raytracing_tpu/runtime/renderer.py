@@ -122,7 +122,9 @@ class Renderer:
             )
         self.scene = scene
         self.pscene = None
-        if self.cfg.use_pallas_trace:
+        if self.cfg.use_pallas_trace and jax.default_backend() != "cpu":
+            # on CPU the packet kernel would run in the (slow) pallas
+            # interpreter; the XLA tracer is clean and faster there
             from ilgpu_raytracing_tpu.ops.pallas import traverse_kernel as _tk
 
             if _tk.supports_scene(scene):

@@ -17,8 +17,12 @@ def test_renderer_pallas_vs_xla_close():
     for use_pallas in (False, True):
         cfg = dataclasses.replace(base, use_pallas_trace=use_pallas)
         r = Renderer(out_w=96, out_h=64, cfg=cfg, scene=scene, camera=cam)
-        if use_pallas:
-            assert r.pscene is not None
+        if use_pallas and r.pscene is None:
+            # CPU backends skip pscene (interpreter too slow for production);
+            # exercise the pallas path explicitly here
+            from ilgpu_raytracing_tpu.ops.pallas import traverse_kernel as tk
+
+            r.pscene = tk.prepare(scene)
         r.render_frames(2)
         frames[use_pallas] = r.frame_rgb().astype(np.int32)
     diff = np.abs(frames[True] - frames[False])
@@ -38,5 +42,5 @@ def test_unsupported_scene_falls_back():
     assert not tk.supports_scene(huge)
     cfg = RenderConfig(spp=1, max_depth=1, use_pallas_trace=True)
     r = Renderer(out_w=32, out_h=24, cfg=cfg, scene=huge)
-    assert r.pscene is None  # silently falls back to the XLA tracer
+    assert r.pscene is None  # alpha scenes fall back to the XLA tracer
     r.render()

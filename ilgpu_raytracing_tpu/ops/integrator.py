@@ -49,6 +49,7 @@ from ilgpu_raytracing_tpu.ops import sky as sky_ops
 from ilgpu_raytracing_tpu.ops import sort as sort_mod
 from ilgpu_raytracing_tpu.ops import traverse
 from ilgpu_raytracing_tpu.ops.pallas import traverse_kernel as pallas_tk
+from ilgpu_raytracing_tpu.ops.pallas import wide_kernel as pallas_wk
 from ilgpu_raytracing_tpu.ops.sampling import sample_hemisphere_cosine
 from ilgpu_raytracing_tpu.utils import rng as rng_mod
 from ilgpu_raytracing_tpu.utils import vec
@@ -86,32 +87,37 @@ def _scene_bounds(pscene):
     return tuple(lo), tuple(hi)
 
 
+def _trace_fns(pscene):
+    if isinstance(pscene, pallas_wk.WideScene):
+        return pallas_wk.trace_closest_wide, pallas_wk.shadow_occlusion_wide
+    return pallas_tk.trace_closest_pallas, pallas_tk.shadow_occlusion_pallas
+
+
 def _trace(scene, pscene, o, d, active=None, coherent=True):
-    """Closest-hit dispatch: pallas packet kernel when a prepared scene is
-    supplied, XLA while-loop tracer otherwise. Incoherent batches (bounce
-    rays) are morton/octant-sorted first -- packet traversal throughput
-    depends on tile coherence (ops/sort.py)."""
+    """Closest-hit dispatch: pallas packet kernel (8-wide or binary) when a
+    prepared scene is supplied, XLA while-loop tracer otherwise. Incoherent
+    batches (bounce rays) are morton/octant-sorted first -- packet traversal
+    throughput depends on tile coherence (ops/sort.py)."""
     if pscene is None:
         return traverse.trace_closest(scene, o, d, active=active)
+    closest, _ = _trace_fns(pscene)
     if coherent:
-        return pallas_tk.trace_closest_pallas(pscene, o, d, active=active)
+        return closest(pscene, o, d, active=active)
     lo, hi = _scene_bounds(pscene)
     return sort_mod.sorted_trace(
-        lambda a, b, c: pallas_tk.trace_closest_pallas(pscene, a, b, active=c),
-        o, d, active, lo, hi,
+        lambda a, b, c: closest(pscene, a, b, active=c), o, d, active, lo, hi
     )
 
 
 def _shadow(scene, pscene, o, d, t_max, active=None, coherent=True):
     if pscene is None:
         return traverse.shadow_occlusion(scene, o, d, t_max, active=active)
+    _, shadow = _trace_fns(pscene)
     if coherent:
-        return pallas_tk.shadow_occlusion_pallas(pscene, o, d, t_max, active=active)
+        return shadow(pscene, o, d, t_max, active=active)
     lo, hi = _scene_bounds(pscene)
     return sort_mod.sorted_trace(
-        lambda a, b, c: pallas_tk.shadow_occlusion_pallas(
-            pscene, a, b, t_max, active=c
-        ),
+        lambda a, b, c: shadow(pscene, a, b, t_max, active=c),
         o, d, active, lo, hi,
     )
 

@@ -126,9 +126,10 @@ class Renderer:
             # on CPU the packet kernel would run in the (slow) pallas
             # interpreter; the XLA tracer is clean and faster there
             from ilgpu_raytracing_tpu.ops.pallas import traverse_kernel as _tk
+            from ilgpu_raytracing_tpu.ops.pallas import wide_kernel as _wk
 
             if _tk.supports_scene(scene):
-                self.pscene = _tk.prepare(scene)
+                self.pscene = _wk.prepare_wide(_tk.prepare(scene))
         self.out_w, self.out_h = out_w, out_h
         self.in_w, self.in_h = self.cfg.internal_resolution(out_w, out_h)
         if camera is None:

@@ -1,0 +1,77 @@
+"""8-wide packet kernel vs the XLA reference traversal (interpret mode)."""
+
+import numpy as np
+
+from ilgpu_raytracing_tpu.models.camera import Camera
+from ilgpu_raytracing_tpu.models.cornell import build_cornell_scene, cornell_camera
+from ilgpu_raytracing_tpu.models.scene import build_default_scene
+from ilgpu_raytracing_tpu.ops import rays, traverse
+from ilgpu_raytracing_tpu.ops.pallas import traverse_kernel as tk
+from ilgpu_raytracing_tpu.ops.pallas import wide_kernel as wk
+
+
+def test_wide_sphere_scene_exact():
+    _, scene = build_default_scene(single_instance=True)
+    ws = wk.prepare_wide(tk.prepare(scene))
+    cam = Camera.create(64, 48)
+    o, d = rays.generate_primary_rays(cam, 64, 48)
+    h_ref = traverse.trace_closest(scene, o, d)
+    h_w = wk.trace_closest_wide(ws, o, d, interpret=True)
+    m = np.asarray(h_ref.hit)
+    np.testing.assert_array_equal(m, np.asarray(h_w.hit))
+    np.testing.assert_allclose(
+        np.asarray(h_ref.t)[m], np.asarray(h_w.t)[m], rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(h_ref.prim)[m], np.asarray(h_w.prim)[m]
+    )
+
+
+def test_wide_multi_instance():
+    _, scene = build_default_scene(single_instance=False)
+    ws = wk.prepare_wide(tk.prepare(scene))
+    assert len(ws.meta) == 6
+    cam = Camera.create(48, 32)
+    o, d = rays.generate_primary_rays(cam, 48, 32)
+    h_ref = traverse.trace_closest(scene, o, d)
+    h_w = wk.trace_closest_wide(ws, o, d, interpret=True)
+    m = np.asarray(h_ref.hit)
+    np.testing.assert_array_equal(m, np.asarray(h_w.hit))
+    np.testing.assert_array_equal(
+        np.asarray(h_ref.inst)[m], np.asarray(h_w.inst)[m]
+    )
+
+
+def test_wide_cornell_near_exact():
+    _, cs = build_cornell_scene(tess=4, sphere_tess=(8, 12))
+    ws = wk.prepare_wide(tk.prepare(cs))
+    cam = cornell_camera(64, 48)
+    o, d = rays.generate_primary_rays(cam, 64, 48)
+    h_ref = traverse.trace_closest(cs, o, d)
+    h_w = wk.trace_closest_wide(ws, o, d, interpret=True)
+    tr = np.asarray(h_ref.t)
+    tw = np.asarray(h_w.t)
+    mismatch = np.abs(tr - tw) > 1e-3 * np.minimum(np.abs(tr), 1e6)
+    assert mismatch.mean() < 0.005
+    occ_r = traverse.shadow_occlusion(cs, o, d, 5.0)
+    occ_w = wk.shadow_occlusion_wide(ws, o, d, 5.0, interpret=True)
+    assert (np.asarray(occ_r) == np.asarray(occ_w)).mean() > 0.995
+
+
+def test_wide_collapse_covers_all_leaves():
+    """Every binary leaf must appear exactly once among wide-node children."""
+    _, cs = build_cornell_scene(tess=4, sphere_tess=(8, 12), blas_leaf_size=8)
+    ps = tk.prepare(cs)
+    ws = wk.prepare_wide(ps)
+    ifl = np.asarray(ps.node_ifields).reshape(-1, 4)
+    binary_leaves = {
+        (int(ifl[i, 1]), int(ifl[i, 2]))
+        for i in range(ifl.shape[0])
+        if ifl[i, 2] > 0
+    }
+    wc = np.asarray(ws.wide_child)
+    wide_leaves = []
+    for v in wc[wc <= -2]:
+        packed = -int(v) - 2
+        wide_leaves.append((packed // 16, packed % 16))
+    assert sorted(wide_leaves) == sorted(binary_leaves)

@@ -1,5 +1,8 @@
 """Render the default 6-sphere scene to PNG (headless smoke driver).
 
+Drives the PRODUCTION path: the Renderer class (full frame DAG with the
+Pallas packet tracer where supported), the same path bench.py measures.
+
 Usage:
   python examples/render_default.py --width 512 --height 512 --frames 3 \
       --out /tmp/frame.png [--cpu] [--spp 2] [--depth 3] [--no-restir-reuse]
@@ -26,6 +29,7 @@ def main():
     ap.add_argument("--depth", type=int, default=3)
     ap.add_argument("--no-restir-reuse", action="store_true")
     ap.add_argument("--lock-noise", action="store_true")
+    ap.add_argument("--no-taau", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -33,56 +37,28 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    import dataclasses
-
     import numpy as np
 
     from ilgpu_raytracing_tpu.config import RenderConfig
-    from ilgpu_raytracing_tpu.models.camera import Camera
-    from ilgpu_raytracing_tpu.models.scene import build_default_scene
-    from ilgpu_raytracing_tpu.ops import integrator, restir, sky
-    from ilgpu_raytracing_tpu.utils import image
+    from ilgpu_raytracing_tpu.runtime.renderer import Renderer
 
     cfg = RenderConfig(
         spp=args.spp,
         max_depth=args.depth,
         enable_temporal_reuse=not args.no_restir_reuse,
         enable_spatial_reuse=not args.no_restir_reuse,
+        rng_lock_noise=0 if args.lock_noise else 1,
+        enable_taau=not args.no_taau,
     )
-    w, h = args.width, args.height
-    _, scene = build_default_scene()
-    cam = Camera.create(w, h, 60.0).translate([1, 0, -4])
-    prev_cam = cam
-
-    res_a = restir.Reservoirs.empty(w * h)
-    res_b = restir.Reservoirs.empty(w * h)
-    sun = sky.sun_direction(cfg.sun_azimuth, cfg.sun_elevation)
-
-    color = None
+    r = Renderer(out_w=args.width, out_h=args.height, cfg=cfg)
     for frame in range(args.frames):
         t0 = time.time()
-        gb = integrator.primary_visibility(scene, cam, w, h)
-        noise_key = np.uint32(
-            0 if args.lock_noise else (frame * 2654435761 + 1) & 0xFFFFFFFF
-        )
-        res_prev, res_cur = (res_a, res_b) if frame % 2 == 0 else (res_b, res_a)
-        color, depth, obj_id, res_cur = integrator.path_trace(
-            scene, gb, cam, prev_cam, res_prev, res_cur, frame, noise_key,
-            sun, cfg, w, h,
-        )
-        color.block_until_ready()
-        if frame % 2 == 0:
-            res_b = res_cur
-        else:
-            res_a = res_cur
-        prev_cam = cam
+        packed = r.render()
+        np.asarray(packed)  # force device sync for honest timing
         print(f"frame {frame}: {time.time() - t0:.3f}s")
-
-    img = image.linear_to_uint8(
-        np.asarray(color).reshape(h, w, 3)[::-1], srgb=False
-    )  # flip: v axis points up
-    image.save_png(args.out, img)
-    print("wrote", args.out)
+    r.save_png(args.out)
+    print(f"wrote {args.out} (pallas={r.pscene is not None}, "
+          f"internal {r.in_w}x{r.in_h})")
 
 
 if __name__ == "__main__":

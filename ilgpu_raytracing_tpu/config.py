@@ -111,4 +111,11 @@ class RenderConfig:
             h = max(self.min_rt_dim, int(h * s))
         w = max(self.min_rt_dim if min(out_w, out_h) >= self.min_rt_dim else 1, w)
         h = max(self.min_rt_dim if min(out_w, out_h) >= self.min_rt_dim else 1, h)
+        # Round down to 64-pixel block multiples so the frame runs in the
+        # packet-coherent block-linear layout (ops/layout.py). Divergence
+        # from the reference's exact-scale policy, documented: the internal
+        # resolution may be up to 63 px smaller per axis.
+        if w >= 64 and h >= 64:
+            w -= w % 64
+            h -= h % 64
         return w, h

@@ -43,10 +43,10 @@ from ilgpu_raytracing_tpu.models.materials import (
     SHADING_MIRROR,
 )
 from ilgpu_raytracing_tpu.models.scene import SceneData
+from ilgpu_raytracing_tpu.ops import layout
 from ilgpu_raytracing_tpu.ops import rays as rays_mod
 from ilgpu_raytracing_tpu.ops import restir as restir_mod
 from ilgpu_raytracing_tpu.ops import sky as sky_ops
-from ilgpu_raytracing_tpu.ops import sort as sort_mod
 from ilgpu_raytracing_tpu.ops import traverse
 from ilgpu_raytracing_tpu.ops.pallas import traverse_kernel as pallas_tk
 from ilgpu_raytracing_tpu.ops.pallas import wide_kernel as pallas_wk
@@ -81,45 +81,30 @@ def _pick_n_chunks(n: int, target: int) -> int:
     return 1
 
 
-def _scene_bounds(pscene):
-    lo = [min(m[3][k] for m in pscene.meta) for k in range(3)]
-    hi = [max(m[3][3 + k] for m in pscene.meta) for k in range(3)]
-    return tuple(lo), tuple(hi)
-
-
 def _trace_fns(pscene):
     if isinstance(pscene, pallas_wk.WideScene):
         return pallas_wk.trace_closest_wide, pallas_wk.shadow_occlusion_wide
     return pallas_tk.trace_closest_pallas, pallas_tk.shadow_occlusion_pallas
 
 
-def _trace(scene, pscene, o, d, active=None, coherent=True):
+def _trace(scene, pscene, o, d, active=None):
     """Closest-hit dispatch: pallas packet kernel (8-wide or binary) when a
-    prepared scene is supplied, XLA while-loop tracer otherwise. Incoherent
-    batches (bounce rays) are morton/octant-sorted first -- packet traversal
-    throughput depends on tile coherence (ops/sort.py)."""
+    prepared scene is supplied, XLA while-loop tracer otherwise. Ray batches
+    arrive in the frame's static block-linear order (ops/layout.py), which
+    supersedes the old per-trace morton/octant runtime sort (ops/sort.py):
+    the coherence is comparable and the ~110 ms argsort+gather cost per
+    trace is gone."""
     if pscene is None:
         return traverse.trace_closest(scene, o, d, active=active)
     closest, _ = _trace_fns(pscene)
-    if coherent:
-        return closest(pscene, o, d, active=active)
-    lo, hi = _scene_bounds(pscene)
-    return sort_mod.sorted_trace(
-        lambda a, b, c: closest(pscene, a, b, active=c), o, d, active, lo, hi
-    )
+    return closest(pscene, o, d, active=active)
 
 
-def _shadow(scene, pscene, o, d, t_max, active=None, coherent=True):
+def _shadow(scene, pscene, o, d, t_max, active=None):
     if pscene is None:
         return traverse.shadow_occlusion(scene, o, d, t_max, active=active)
     _, shadow = _trace_fns(pscene)
-    if coherent:
-        return shadow(pscene, o, d, t_max, active=active)
-    lo, hi = _scene_bounds(pscene)
-    return sort_mod.sorted_trace(
-        lambda a, b, c: shadow(pscene, a, b, t_max, active=c),
-        o, d, active, lo, hi,
-    )
+    return shadow(pscene, o, d, t_max, active=active)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "chunk_pixels"))
@@ -198,8 +183,7 @@ def _path_trace_block(
     sky_bottom = cfg.sky_tint_bottom
     sun_radiance = cfg.sun_radiance
 
-    px = pixel_idx % width
-    py = pixel_idx // width
+    px, py = layout.xy_from_position(pixel_idx, width, height)
     pu = (px.astype(jnp.float32) + 0.5) / float(max(1, width))
     pv = (py.astype(jnp.float32) + 0.5) / float(max(1, height))
     _, primary_d = rays_mod.generate_rays(camera, pu, pv)
@@ -272,7 +256,6 @@ def _path_trace_block(
         shadow_o = _offset_origin(pos, nrm, sel["wi"], cfg.eps_n)
         occluded = _shadow(
             scene, pscene, shadow_o, sel["wi"], 1e29, active=sel["ok"],
-            coherent=False,
         )
         direct = jnp.where(
             (sel["ok"] & (~occluded))[..., None], sel["contrib"], 0.0
@@ -317,9 +300,7 @@ def _path_trace_block(
 
         trace_active = alive & (~rr_kill)
         ray_o = _offset_origin(pos, offn, new_dir, cfg.eps_n)
-        hit = _trace(
-            scene, pscene, ray_o, new_dir, active=trace_active, coherent=False
-        )
+        hit = _trace(scene, pscene, ray_o, new_dir, active=trace_active)
         surf = traverse.shade_hits(scene, hit, ray_o, new_dir)
         missed = trace_active & (~hit.hit)
         li = li + jnp.where(
@@ -341,10 +322,14 @@ def _path_trace_block(
             res_cur,
         ), None
 
+    # noise streams stay keyed to the CANONICAL pixel id (y*width+x), not
+    # the block-linear array position, so per-pixel noise is layout-invariant
+    canonical_idx = py * width + px
+
     def sample_step(carry, s):
         res_cur, l_accum = carry
         state = rng_mod.seed_from_index(
-            pixel_idx, width, frame, s, cfg.rng_salt, noise_key
+            canonical_idx, width, frame, s, cfg.rng_salt, noise_key
         )
         li0 = jnp.where(gb.hit[..., None], 0.0, miss_sky)
         init = (

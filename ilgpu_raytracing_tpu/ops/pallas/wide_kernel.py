@@ -1,17 +1,31 @@
-"""8-wide BVH packet traversal (v3).
+"""8-wide BVH packet traversal (v4).
 
 The binary packet kernel (traverse_kernel.py) pays one ~1.3 us
-vector->scalar sync per binary node; measured, 8 independent reductions cost
-about the same as one (they pipeline). So v3 collapses the binary skip-index
-tree into 8-wide nodes: each step tests all 8 children's AABBs against the
-packet (vector), takes 8 pipelined `any` reductions, pushes hit inner
-children on an SMEM stack and queues hit leaf children; leaf queues drain in
-segments through the exact vectorized leaf tests. Per-lane t_best feeds the
-slab masks directly, so distance pruning is exact (same semantics as v1).
+vector->scalar sync round per binary node. v4 attacks that latency three
+ways on top of v3's 8-wide collapse:
 
-Node bounds/children live in SMEM scalar tables (48 f32 + 8 i32 per wide
-node, ~224 B/node, ~1 MB SMEM budget => ~4k wide nodes ~ 200k+ triangles at
-leaf 8). Reuses the packed leaf rows and instance baking of PallasScene.
+* FRONT-node frontier: each walk iteration pops up to FRONT wide nodes and
+  tests all FRONT*8 children before any scalar decision depends on the
+  results, so the vector->scalar round-trip is paid once per FRONT nodes
+  (the independent `any` reductions pipeline; measured on v5e, 8 cost about
+  the same as 1).
+* Octant-ordered children: prepare_wide precomputes, per wide node, the
+  near-to-far child permutation for each of the 8 ray-direction octants
+  (packed 4 bits/child into one int32). The packet's octant comes from its
+  first lane; inner children are pushed far-first (so near pops first) and
+  leaf children drain near-first, which tightens per-lane t_best sooner and
+  prunes later leaf tests. Ordering is a pure pruning heuristic -- per-lane
+  masks keep exact semantics for incoherent packets.
+* A dedicated shadow (any-hit) kernel: lanes latch `occluded` at the first
+  accepting leaf, masks drop occluded lanes from all further node/leaf
+  work, and the whole walk exits once every active lane is occluded
+  (reference ShadowOcclusion, SceneDeviceViews.cs:88-121, which likewise
+  returns on first hit).
+
+Node bounds/children/perms live in SMEM scalar tables (48 f32 + 8 i32 +
+8 i32 per wide node, ~256 B/node, ~1 MB SMEM budget => ~4k wide nodes ~
+200k+ triangles at leaf 8). Reuses the packed leaf rows and instance baking
+of PallasScene.
 """
 
 from __future__ import annotations
@@ -43,6 +57,7 @@ from ilgpu_raytracing_tpu.ops.pallas.traverse_kernel import (
 TILE_ROWS = 32
 _LANES = 128
 WIDTH = 8
+FRONT = 4  # nodes popped per sync round
 STACK_CAP = 256
 QUEUE_CAP = 128
 
@@ -57,9 +72,33 @@ def _leaf_enc(first: int, count: int) -> int:
 class WideScene:
     wide_bounds: jnp.ndarray  # (W*48,) f32 scalar-prefetch
     wide_child: jnp.ndarray  # (W*8,) i32 scalar-prefetch
+    wide_perm: jnp.ndarray  # (W*8,) i32: per-octant child order, 4b/child
     tri_rows: jnp.ndarray  # (Lt,128) f32 VMEM (shared with PallasScene)
     sph_rows: jnp.ndarray  # (Ls,128) f32
     meta: tuple = struct.field(pytree_node=False, default=())
+
+
+def _octant_perms(wb: np.ndarray, wc: np.ndarray) -> np.ndarray:
+    """Per-octant near-to-far child order for one wide node.
+
+    Returns (8,) int32; each packs 8 child slots, 4 bits per visit rank."""
+    cent = (wb[:, 0:3] + wb[:, 3:6]) * 0.5
+    perms = np.zeros((8,), np.int32)
+    for o in range(8):
+        sign = np.array(
+            [1.0 if o & 4 else -1.0,
+             1.0 if o & 2 else -1.0,
+             1.0 if o & 1 else -1.0],
+            np.float32,
+        )
+        key = cent @ sign
+        key = np.where(wc == _EMPTY, np.inf, key)  # empties visit last
+        order = np.argsort(key, kind="stable")
+        packed = 0
+        for rank, child_slot in enumerate(order):
+            packed |= int(child_slot) << (rank * 4)
+        perms[o] = np.int32(np.uint32(packed).view(np.int32))
+    return perms
 
 
 def prepare_wide(pscene: PallasScene) -> WideScene:
@@ -117,17 +156,76 @@ def prepare_wide(pscene: PallasScene) -> WideScene:
             wid = collapse(root)
         meta.append((kind, wid, w2o, wbounds, inst_id))
 
+    wb_all = np.stack(wide_bounds)
+    wc_all = np.stack(wide_child)
+    perms = np.stack(
+        [_octant_perms(wb_all[i], wc_all[i]) for i in range(len(wc_all))]
+    )
     return WideScene(
-        wide_bounds=jnp.asarray(np.stack(wide_bounds).reshape(-1)),
-        wide_child=jnp.asarray(np.stack(wide_child).reshape(-1)),
+        wide_bounds=jnp.asarray(wb_all.reshape(-1)),
+        wide_child=jnp.asarray(wc_all.reshape(-1)),
+        wide_perm=jnp.asarray(perms.reshape(-1).astype(np.int32)),
         tri_rows=pscene.tri_rows,
         sph_rows=pscene.sph_rows,
         meta=tuple(meta),
     )
 
 
-def _make_kernel(meta, tile_rows: int):
-    def kernel(wc_ref, wb_ref, tri_ref, sph_ref,
+def _instance_enter(wbounds, wox, woy, woz, wix, wiy, wiz, t_best):
+    """World-space instance AABB early-out mask."""
+    bx0, by0, bz0, bx1, by1, bz1 = (float(v) for v in wbounds)
+    t1 = (bx0 - wox) * wix
+    t2 = (bx1 - wox) * wix
+    lo = jnp.minimum(t1, t2)
+    hi = jnp.maximum(t1, t2)
+    t1 = (by0 - woy) * wiy
+    t2 = (by1 - woy) * wiy
+    lo = jnp.maximum(lo, jnp.minimum(t1, t2))
+    hi = jnp.minimum(hi, jnp.maximum(t1, t2))
+    t1 = (bz0 - woz) * wiz
+    t2 = (bz1 - woz) * wiz
+    lo = jnp.maximum(lo, jnp.minimum(t1, t2))
+    hi = jnp.minimum(hi, jnp.maximum(t1, t2))
+    # clamp lo to T_EPS on BOTH tests: inactive lanes (t_best == 0) with a
+    # stale origin inside the box then fail `lo <= t_best` instead of
+    # inflating the packet's node-visit union
+    lo = jnp.maximum(lo, T_EPS)
+    return (hi >= lo) & (lo <= t_best)
+
+
+def _child_slab(wb_ref, b, ox, oy, oz, ix, iy, iz, t_b):
+    x0 = wb_ref[b]
+    y0 = wb_ref[b + 1]
+    z0 = wb_ref[b + 2]
+    x1 = wb_ref[b + 3]
+    y1 = wb_ref[b + 4]
+    z1 = wb_ref[b + 5]
+    t1 = (x0 - ox) * ix
+    t2 = (x1 - ox) * ix
+    lo = jnp.minimum(t1, t2)
+    hi = jnp.maximum(t1, t2)
+    t1 = (y0 - oy) * iy
+    t2 = (y1 - oy) * iy
+    lo = jnp.maximum(lo, jnp.minimum(t1, t2))
+    hi = jnp.minimum(hi, jnp.maximum(t1, t2))
+    t1 = (z0 - oz) * iz
+    t2 = (z1 - oz) * iz
+    lo = jnp.maximum(lo, jnp.minimum(t1, t2))
+    hi = jnp.minimum(hi, jnp.maximum(t1, t2))
+    lo = jnp.maximum(lo, T_EPS)  # see _instance_enter: culls dead lanes
+    return (hi >= lo) & (lo <= t_b)
+
+
+def _packet_octant(dx, dy, dz):
+    """Direction octant of the packet's first lane (ordering heuristic
+    only -- correctness never depends on it)."""
+    o = jnp.where(dx[0, 0] > 0.0, jnp.int32(4), jnp.int32(0))
+    o = o + jnp.where(dy[0, 0] > 0.0, jnp.int32(2), jnp.int32(0))
+    return o + jnp.where(dz[0, 0] > 0.0, jnp.int32(1), jnp.int32(0))
+
+
+def _make_closest_kernel(meta, tile_rows: int, front: int):
+    def kernel(wc_ref, wb_ref, wp_ref, tri_ref, sph_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                t_ref, prim_ref, inst_ref, bu_ref, bv_ref,
                stack_ref, queue_ref):
@@ -150,23 +248,11 @@ def _make_kernel(meta, tile_rows: int):
                     w2o, wox, woy, woz, wdx, wdy, wdz
                 )
             ix, iy, iz = _inv(dx), _inv(dy), _inv(dz)
-
-            # instance world-AABB early out (world-space rays)
             wix, wiy, wiz = _inv(wdx), _inv(wdy), _inv(wdz)
-            bx0, by0, bz0, bx1, by1, bz1 = (float(v) for v in wbounds)
-            t1 = (bx0 - wox) * wix
-            t2 = (bx1 - wox) * wix
-            lo = jnp.minimum(t1, t2)
-            hi = jnp.maximum(t1, t2)
-            t1 = (by0 - woy) * wiy
-            t2 = (by1 - woy) * wiy
-            lo = jnp.maximum(lo, jnp.minimum(t1, t2))
-            hi = jnp.minimum(hi, jnp.maximum(t1, t2))
-            t1 = (bz0 - woz) * wiz
-            t2 = (bz1 - woz) * wiz
-            lo = jnp.maximum(lo, jnp.minimum(t1, t2))
-            hi = jnp.minimum(hi, jnp.maximum(t1, t2))
-            enter = (hi >= jnp.maximum(lo, T_EPS)) & (lo <= t_best)
+            enter = _instance_enter(
+                wbounds, wox, woy, woz, wix, wiy, wiz, t_best
+            )
+            octant = _packet_octant(dx, dy, dz)
             sp0 = jax.lax.select(jnp.any(enter), jnp.int32(1), jnp.int32(0))
             stack_ref[0] = jnp.int32(wide_root)
 
@@ -208,54 +294,54 @@ def _make_kernel(meta, tile_rows: int):
 
                 def walk_body(w):
                     sp, n_q, t_b = w
-                    sp = sp - 1
-                    wid = stack_ref[sp]
-                    base_b = wid * 48
-                    base_c = wid * 8
-                    for c8 in range(WIDTH):
-                        child = wc_ref[base_c + c8]
-                        b = base_b + c8 * 6
-                        x0 = wb_ref[b]
-                        y0 = wb_ref[b + 1]
-                        z0 = wb_ref[b + 2]
-                        x1 = wb_ref[b + 3]
-                        y1 = wb_ref[b + 4]
-                        z1 = wb_ref[b + 5]
-                        t1 = (x0 - ox) * ix
-                        t2 = (x1 - ox) * ix
-                        lo = jnp.minimum(t1, t2)
-                        hi = jnp.maximum(t1, t2)
-                        t1 = (y0 - oy) * iy
-                        t2 = (y1 - oy) * iy
-                        lo = jnp.maximum(lo, jnp.minimum(t1, t2))
-                        hi = jnp.minimum(hi, jnp.maximum(t1, t2))
-                        t1 = (z0 - oz) * iz
-                        t2 = (z1 - oz) * iz
-                        lo = jnp.maximum(lo, jnp.minimum(t1, t2))
-                        hi = jnp.minimum(hi, jnp.maximum(t1, t2))
-                        mask = (hi >= jnp.maximum(lo, T_EPS)) & (lo <= t_b)
-                        hit = jnp.any(mask) & (child != _EMPTY)
-                        is_inner = child >= 0
-                        # push hit inner children (dummy slot when not)
-                        do_push = hit & is_inner
-                        slot = jax.lax.select(do_push, sp, jnp.int32(STACK_CAP))
-                        stack_ref[slot] = child
-                        sp = sp + jax.lax.select(do_push, 1, 0)
-                        # queue hit leaf children
-                        do_q = hit & (~is_inner)
-                        # up to 8 queue appends can land after the
-                        # cap-check; dummy slot sits past that overflow
-                        qslot = jax.lax.select(
-                            do_q, n_q, jnp.int32(QUEUE_CAP + 8)
-                        )
-                        queue_ref[qslot] = -child - 2  # decode leaf enc
-                        n_q = n_q + jax.lax.select(do_q, 1, 0)
+                    # pop up to `front` nodes before touching any reduction
+                    popped = []
+                    for _ in range(front):
+                        has = sp > 0
+                        sp = sp - jax.lax.select(has, 1, 0)
+                        wid = stack_ref[jax.lax.select(has, sp, STACK_CAP)]
+                        wid = jax.lax.select(has, wid, jnp.int32(0))
+                        popped.append((has, wid))
+                    # all child tests + anys issue back-to-back (pipelined).
+                    # Iterate far-to-near (reverse perm rank, and reverse
+                    # pop order across the frontier): the stack pops newest
+                    # first, so pushing far-first leaves the NEAREST child
+                    # on top for the next round -- per-lane t_best tightens
+                    # sooner and `lo <= t_best` culls the far siblings.
+                    for has, wid in reversed(popped):
+                        base_b = wid * 48
+                        base_c = wid * 8
+                        perm = wp_ref[base_c + octant]
+                        for rank in range(WIDTH - 1, -1, -1):
+                            c8 = (perm >> (rank * 4)) & 7
+                            child = wc_ref[base_c + c8]
+                            mask = _child_slab(
+                                wb_ref, base_b + c8 * 6,
+                                ox, oy, oz, ix, iy, iz, t_b,
+                            )
+                            hit = jnp.any(mask) & (child != _EMPTY) & has
+                            is_inner = child >= 0
+                            do_push = hit & is_inner
+                            slot = jax.lax.select(
+                                do_push, sp, jnp.int32(STACK_CAP)
+                            )
+                            stack_ref[slot] = child
+                            sp = sp + jax.lax.select(do_push, 1, 0)
+                            # queue hit leaf children (near-first order)
+                            do_q = hit & (~is_inner)
+                            qslot = jax.lax.select(
+                                do_q, n_q, jnp.int32(QUEUE_CAP + WIDTH * front)
+                            )
+                            queue_ref[qslot] = -child - 2  # decode leaf enc
+                            n_q = n_q + jax.lax.select(do_q, 1, 0)
                     return sp, n_q, t_b
 
                 sp, n_q, t_b = lax.while_loop(
                     walk_cond, walk_body, (sp, jnp.int32(0), t_b)
                 )
-                t_b, p_b, i_b, bu_b, bv_b = drain(n_q, t_b, p_b, i_b, bu_b, bv_b)
+                t_b, p_b, i_b, bu_b, bv_b = drain(
+                    n_q, t_b, p_b, i_b, bu_b, bv_b
+                )
                 return sp, t_b, p_b, i_b, bu_b, bv_b
 
             out = lax.while_loop(
@@ -273,26 +359,217 @@ def _make_kernel(meta, tile_rows: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("meta", "interpret", "tile_rows"))
-def _run_trace(arrays, meta, o, d, t_max, interpret=False, tile_rows=TILE_ROWS):
-    wide_child, wide_bounds, tri_rows, sph_rows = arrays
-    n = o.shape[0]
+def _leaf_tri_anyhit(leaf_row, count, ox, oy, oz, dx, dy, dz, t_limit, occ,
+                     gate):
+    """Any-hit MT test: latch occlusion, no prim/bary bookkeeping.
+
+    `gate` masks lanes allowed to latch (boolean and/or only -- Mosaic
+    cannot lower select_n on i1 vectors)."""
+    from ilgpu_raytracing_tpu.ops.pallas.traverse_kernel import (
+        TRI_STRIDE,
+        _vcell,
+    )
+
+    rows = ox.shape[0]
+    for j in range(WIDTH):
+        base = j * TRI_STRIDE
+        v0x, v0y, v0z = (_vcell(leaf_row, base + k, rows) for k in range(3))
+        e1x, e1y, e1z = (_vcell(leaf_row, base + 3 + k, rows) for k in range(3))
+        e2x, e2y, e2z = (_vcell(leaf_row, base + 6 + k, rows) for k in range(3))
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok = jnp.abs(det) >= 1e-8
+        inv_det = 1.0 / jnp.where(ok, det, 1.0)
+        tvx = ox - v0x
+        tvy = oy - v0y
+        tvz = oz - v0z
+        bu = (tvx * px + tvy * py + tvz * pz) * inv_det
+        ok = ok & (bu >= 0.0) & (bu <= 1.0)
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        bv = (dx * qx + dy * qy + dz * qz) * inv_det
+        ok = ok & (bv >= 0.0) & (bu + bv <= 1.0)
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok = ok & (t > T_EPS) & (t < t_limit) & (j < count)
+        # occ is f32 0/1 (Mosaic cannot carry i1 vectors through loops)
+        occ = jnp.maximum(occ, (ok & gate).astype(jnp.float32))
+    return occ
+
+
+def _leaf_sph_anyhit(leaf_row, count, ox, oy, oz, dx, dy, dz, t_limit, occ,
+                     gate):
+    from ilgpu_raytracing_tpu.ops.pallas.traverse_kernel import (
+        SPH_STRIDE,
+        _vcell,
+    )
+
+    rows = ox.shape[0]
+    for j in range(WIDTH):
+        base = j * SPH_STRIDE
+        cx, cy, cz = (_vcell(leaf_row, base + k, rows) for k in range(3))
+        r = _vcell(leaf_row, base + 3, rows)
+        ocx = ox - cx
+        ocy = oy - cy
+        ocz = oz - cz
+        a = dx * dx + dy * dy + dz * dz
+        b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b * b - 4.0 * a * c
+        ok = disc >= 0.0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        inv2a = 1.0 / (2.0 * a)
+        t0 = (-b - sq) * inv2a
+        t1 = (-b + sq) * inv2a
+        t = jnp.where(t0 >= T_EPS, t0, t1)
+        ok = ok & (t >= T_EPS) & (t < t_limit) & (r > 0.0) & (j < count)
+        occ = jnp.maximum(occ, (ok & gate).astype(jnp.float32))
+    return occ
+
+
+def _make_shadow_kernel(meta, tile_rows: int, front: int):
+    """Any-hit occlusion kernel: first accepted hit latches a lane; the walk
+    drops occluded lanes from every mask and exits once all lanes resolve."""
+
+    def kernel(wc_ref, wb_ref, wp_ref, tri_ref, sph_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+               occ_ref, stack_ref, queue_ref):
+        shape = ox_ref.shape
+        wox, woy, woz = ox_ref[...], oy_ref[...], oz_ref[...]
+        wdx, wdy, wdz = dx_ref[...], dy_ref[...], dz_ref[...]
+        t_limit = tmax_ref[...]
+        active0 = t_limit > 0.0
+
+        # occluded flag as f32 0/1: Mosaic cannot carry vector<i1> through
+        # scf loops, so the latch lives in float and compares at use sites
+        occ = jnp.zeros(shape, jnp.float32)
+
+        for kind, wide_root, w2o, wbounds, inst_id in meta:
+            if _is_identity(w2o):
+                ox, oy, oz, dx, dy, dz = wox, woy, woz, wdx, wdy, wdz
+            else:
+                ox, oy, oz, dx, dy, dz = _transform(
+                    w2o, wox, woy, woz, wdx, wdy, wdz
+                )
+            ix, iy, iz = _inv(dx), _inv(dy), _inv(dz)
+            wix, wiy, wiz = _inv(wdx), _inv(wdy), _inv(wdz)
+            enter = (
+                _instance_enter(wbounds, wox, woy, woz, wix, wiy, wiz, t_limit)
+                & active0
+                & (occ < 0.5)
+            )
+            sp0 = jax.lax.select(jnp.any(enter), jnp.int32(1), jnp.int32(0))
+            stack_ref[0] = jnp.int32(wide_root)
+
+            def drain(n_q, occ):
+                def leaf_body(q, occ):
+                    packed = queue_ref[q]
+                    first = packed // 16
+                    count = packed % 16
+                    if kind == BLAS_TRI_MESH:
+                        leaf_row = tri_ref[pl.ds(first, 1), :]
+                        return _leaf_tri_anyhit(
+                            leaf_row, count, ox, oy, oz, dx, dy, dz,
+                            t_limit, occ, active0,
+                        )
+                    leaf_row = sph_ref[pl.ds(first, 1), :]
+                    return _leaf_sph_anyhit(
+                        leaf_row, count, ox, oy, oz, dx, dy, dz,
+                        t_limit, occ, active0,
+                    )
+
+                return lax.fori_loop(0, n_q, leaf_body, occ)
+
+            def seg_cond(c):
+                return c[0] > 0
+
+            def seg_body(c):
+                sp, occ = c
+                open_mask = active0 & (occ < 0.5)
+
+                def walk_cond(w):
+                    return (w[0] > 0) & (w[1] < QUEUE_CAP)
+
+                def walk_body(w):
+                    sp, n_q = w
+                    popped = []
+                    for _ in range(front):
+                        has = sp > 0
+                        sp = sp - jax.lax.select(has, 1, 0)
+                        wid = stack_ref[jax.lax.select(has, sp, STACK_CAP)]
+                        wid = jax.lax.select(has, wid, jnp.int32(0))
+                        popped.append((has, wid))
+                    for has, wid in popped:
+                        base_b = wid * 48
+                        base_c = wid * 8
+                        for c8 in range(WIDTH):
+                            child = wc_ref[base_c + c8]
+                            mask = _child_slab(
+                                wb_ref, base_b + c8 * 6,
+                                ox, oy, oz, ix, iy, iz, T_INF,
+                            ) & open_mask
+                            hit = jnp.any(mask) & (child != _EMPTY) & has
+                            is_inner = child >= 0
+                            do_push = hit & is_inner
+                            slot = jax.lax.select(
+                                do_push, sp, jnp.int32(STACK_CAP)
+                            )
+                            stack_ref[slot] = child
+                            sp = sp + jax.lax.select(do_push, 1, 0)
+                            do_q = hit & (~is_inner)
+                            qslot = jax.lax.select(
+                                do_q, n_q, jnp.int32(QUEUE_CAP + WIDTH * front)
+                            )
+                            queue_ref[qslot] = -child - 2
+                            n_q = n_q + jax.lax.select(do_q, 1, 0)
+                    return sp, n_q
+
+                sp, n_q = lax.while_loop(
+                    walk_cond, walk_body, (sp, jnp.int32(0))
+                )
+                occ = drain(n_q, occ)
+                # early exit: stop the whole walk once every lane resolved
+                any_open = jnp.any(active0 & (occ < 0.5))
+                sp = jax.lax.select(any_open, sp, jnp.int32(0))
+                return sp, occ
+
+            sp0, occ = lax.while_loop(seg_cond, seg_body, (sp0, occ))
+
+        occ_ref[...] = (occ > 0.5).astype(jnp.int32)
+
+    return kernel
+
+
+def _pad_tiles(x, tile_rows, n):
     tile = tile_rows * _LANES
     n_pad = -(-n // tile) * tile
     g = n_pad // tile
+    return jnp.pad(x, (0, n_pad - n)).reshape(g * tile_rows, _LANES), g
 
-    def comp(x):
-        return jnp.pad(x, (0, n_pad - n)).reshape(g * tile_rows, _LANES)
 
-    ox, oy, oz = (comp(o[:, k]) for k in range(3))
-    dx, dy, dz = (comp(d[:, k]) for k in range(3))
-    tm = comp(t_max)
+@functools.partial(
+    jax.jit, static_argnames=("meta", "interpret", "tile_rows", "front")
+)
+def _run_trace(arrays, meta, o, d, t_max, interpret=False,
+               tile_rows=TILE_ROWS, front=FRONT):
+    wide_child, wide_bounds, wide_perm, tri_rows, sph_rows = arrays
+    n = o.shape[0]
+    ox, g = _pad_tiles(o[:, 0], tile_rows, n)
+    oy, _ = _pad_tiles(o[:, 1], tile_rows, n)
+    oz, _ = _pad_tiles(o[:, 2], tile_rows, n)
+    dx, _ = _pad_tiles(d[:, 0], tile_rows, n)
+    dy, _ = _pad_tiles(d[:, 1], tile_rows, n)
+    dz, _ = _pad_tiles(d[:, 2], tile_rows, n)
+    tm, _ = _pad_tiles(t_max, tile_rows, n)
 
     ray_spec = pl.BlockSpec(
-        (tile_rows, _LANES), lambda i, s1, s2: (i, 0), memory_space=pltpu.VMEM
+        (tile_rows, _LANES), lambda i, s1, s2, s3: (i, 0),
+        memory_space=pltpu.VMEM,
     )
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    kernel = _make_kernel(meta, tile_rows)
+    kernel = _make_closest_kernel(meta, tile_rows, front)
     shp = (g * tile_rows, _LANES)
     out_shape = [
         jax.ShapeDtypeStruct(shp, jnp.float32),
@@ -305,25 +582,75 @@ def _run_trace(arrays, meta, o, d, t_max, interpret=False, tile_rows=TILE_ROWS):
         kernel,
         out_shape=out_shape,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(g,),
             in_specs=[full, full] + [ray_spec] * 7,
             out_specs=[ray_spec] * 5,
             scratch_shapes=[
                 pltpu.SMEM((STACK_CAP + 1,), jnp.int32),
-                pltpu.SMEM((QUEUE_CAP + 9,), jnp.int32),
+                pltpu.SMEM((QUEUE_CAP + WIDTH * front + 1,), jnp.int32),
             ],
         ),
         interpret=interpret,
-    )(wide_child, wide_bounds, tri_rows, sph_rows, ox, oy, oz, dx, dy, dz, tm)
+    )(wide_child, wide_bounds, wide_perm, tri_rows, sph_rows,
+      ox, oy, oz, dx, dy, dz, tm)
 
     flat = lambda x: x.reshape(-1)[:n]
     return flat(t), flat(prim), flat(inst), flat(bu), flat(bv)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("meta", "interpret", "tile_rows", "front")
+)
+def _run_shadow(arrays, meta, o, d, t_max, interpret=False,
+                tile_rows=TILE_ROWS, front=FRONT):
+    wide_child, wide_bounds, wide_perm, tri_rows, sph_rows = arrays
+    n = o.shape[0]
+    ox, g = _pad_tiles(o[:, 0], tile_rows, n)
+    oy, _ = _pad_tiles(o[:, 1], tile_rows, n)
+    oz, _ = _pad_tiles(o[:, 2], tile_rows, n)
+    dx, _ = _pad_tiles(d[:, 0], tile_rows, n)
+    dy, _ = _pad_tiles(d[:, 1], tile_rows, n)
+    dz, _ = _pad_tiles(d[:, 2], tile_rows, n)
+    tm, _ = _pad_tiles(t_max, tile_rows, n)
+
+    ray_spec = pl.BlockSpec(
+        (tile_rows, _LANES), lambda i, s1, s2, s3: (i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = _make_shadow_kernel(meta, tile_rows, front)
+    shp = (g * tile_rows, _LANES)
+    occ = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(shp, jnp.int32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(g,),
+            in_specs=[full, full] + [ray_spec] * 7,
+            out_specs=ray_spec,
+            scratch_shapes=[
+                pltpu.SMEM((STACK_CAP + 1,), jnp.int32),
+                pltpu.SMEM((QUEUE_CAP + WIDTH * front + 1,), jnp.int32),
+            ],
+        ),
+        interpret=interpret,
+    )(wide_child, wide_bounds, wide_perm, tri_rows, sph_rows,
+      ox, oy, oz, dx, dy, dz, tm)
+    return occ.reshape(-1)[:n] != 0
+
+
+def _arrays(wscene: WideScene):
+    return (
+        wscene.wide_child, wscene.wide_bounds, wscene.wide_perm,
+        wscene.tri_rows, wscene.sph_rows,
+    )
+
+
 def trace_closest_wide(
     wscene: WideScene, o, d, active=None, t_max=None,
     interpret: bool | None = None, tile_rows: int = TILE_ROWS,
+    front: int = FRONT,
 ) -> HitRecord:
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -335,11 +662,8 @@ def trace_closest_wide(
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
 
-    arrays = (
-        wscene.wide_child, wscene.wide_bounds, wscene.tri_rows, wscene.sph_rows
-    )
     t, prim, inst, bu, bv = _run_trace(
-        arrays, wscene.meta, o, d, t_max, interpret, tile_rows
+        _arrays(wscene), wscene.meta, o, d, t_max, interpret, tile_rows, front
     )
     miss = prim < 0
     kind_by_inst = {
@@ -366,9 +690,18 @@ def trace_closest_wide(
 def shadow_occlusion_wide(
     wscene: WideScene, o, d, t_max_world, active=None,
     interpret: bool | None = None, tile_rows: int = TILE_ROWS,
+    front: int = FRONT,
 ):
-    hit = trace_closest_wide(
-        wscene, o, d, active=active, t_max=t_max_world, interpret=interpret,
-        tile_rows=tile_rows,
+    """Dedicated any-hit kernel with per-lane first-hit latching and
+    whole-packet early exit (SceneDeviceViews.cs:88-121 capability)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = o.shape[0]
+    t_max = jnp.broadcast_to(
+        jnp.asarray(t_max_world, jnp.float32), (n,)
     )
-    return hit.prim >= 0
+    if active is not None:
+        t_max = jnp.where(active, t_max, 0.0)
+    return _run_shadow(
+        _arrays(wscene), wscene.meta, o, d, t_max, interpret, tile_rows, front
+    )

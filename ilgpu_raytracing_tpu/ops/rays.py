@@ -29,11 +29,14 @@ def generate_rays(camera, u: jnp.ndarray, v: jnp.ndarray):
 
 
 def pixel_centers(width: int, height: int):
-    """Flat pixel-center (u, v) grid; index = y*width + x, v up
-    (reference GBufferParams.PrimaryRay, RTRay.cs:119-127)."""
+    """Flat pixel-center (u, v) grid in the frame's block-linear order
+    (ops/layout.py), v up (reference GBufferParams.PrimaryRay,
+    RTRay.cs:119-127; the reference is row-major -- the order here is a
+    TPU packet-coherence redesign, values per pixel are identical)."""
+    from ilgpu_raytracing_tpu.ops import layout
+
     idx = jnp.arange(width * height, dtype=jnp.int32)
-    x = idx % width
-    y = idx // width
+    x, y = layout.xy_from_position(idx, width, height)
     u = (x.astype(jnp.float32) + 0.5) / float(max(1, width))
     v = (y.astype(jnp.float32) + 0.5) / float(max(1, height))
     return u, v

@@ -29,6 +29,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import struct
 
+from ilgpu_raytracing_tpu.ops import layout
 from ilgpu_raytracing_tpu.ops import sky as sky_ops
 from ilgpu_raytracing_tpu.ops.sampling import (
     INV_PI,
@@ -101,7 +102,10 @@ def reservoir_update(res: Reservoirs, state, wi, pdf_sel, li, score, light_id,
 
 
 def reproject_to_prev_pixel(pos, prev_cam, width: int, height: int):
-    """World point -> prev-frame pixel index or -1 (RTRay.cs:338-360)."""
+    """World point -> prev-frame array position or -1 (RTRay.cs:338-360).
+
+    Positions are in the frame's block-linear layout (ops/layout.py) --
+    reservoir state is stored in that order every frame."""
     origin = jnp.asarray(prev_cam.origin, jnp.float32)
     right = jnp.asarray(prev_cam.right, jnp.float32)
     up = jnp.asarray(prev_cam.up, jnp.float32)
@@ -123,22 +127,8 @@ def reproject_to_prev_pixel(pos, prev_cam, width: int, height: int):
     px = jnp.floor(fx).astype(jnp.int32)
     py = jnp.floor(fy).astype(jnp.int32)
     inside = (px >= 0) & (px < width) & (py >= 0) & (py < height)
-    idx = py * width + px
+    idx = layout.position_from_xy(px, py, width, height)
     return jnp.where(ok & inside, idx, -1)
-
-
-def _spatial_compatible(gb, cam_origin, idx_a, idx_b, n_a):
-    """Neighbor compatibility on the current G-buffer (RTRay.cs:362-374)."""
-    take = lambda a, i: jnp.take(a, jnp.maximum(i, 0), axis=0, mode="clip")
-    obj_a = take(gb.obj_id, idx_a)
-    obj_b = take(gb.obj_id, idx_b)
-    same_obj = obj_a == obj_b
-    n_b = vec.normalize(take(gb.normal, idx_b))
-    ndot = vec.dot(n_a, n_b)
-    z_a = vec.length(take(gb.pos, idx_a) - cam_origin)
-    z_b = vec.length(take(gb.pos, idx_b) - cam_origin)
-    rel = jnp.abs(z_a - z_b) / jnp.maximum(1e-3, z_a)
-    return same_obj | ((ndot >= 0.85) & (rel < 0.05))
 
 
 def _pack_reservoirs(res_prev: Reservoirs):
@@ -330,22 +320,25 @@ def restir_direct(
             mix_delta, sun_radiance, sky_top, sky_bottom,
         )
 
-        # (4) spatial reuse: 8 prev-frame neighbors, hashed rotation/radius
+        # (4) spatial reuse: 8 prev-frame neighbors, hashed rotation/radius.
+        # The hash keys on the canonical pixel id (y*w+x), not the array
+        # position, so the noise pattern is layout-invariant.
+        x0, y0 = layout.xy_from_position(pixel_idx, width, height)
         h = rng_mod.hash32(
-            rng_mod.u32(pixel_idx)
+            rng_mod.u32(y0 * width + x0)
             ^ rng_mod.hash32(
                 rng_mod.u32(frame) ^ rng_mod.hash32(rng_mod.u32(0xB31F5AB1))
             )
         )
         rot = (h & rng_mod.u32(3)).astype(jnp.int32)
         radius = 1 + ((h >> rng_mod.u32(2)) & rng_mod.u32(1)).astype(jnp.int32)
-        x0 = pixel_idx % width
-        y0 = pixel_idx // width
         for dx, dy in _neighbor_offsets(rot, radius):
             nx = x0 + dx
             ny = y0 + dy
             inside = (nx >= 0) & (nx < width) & (ny >= 0) & (ny < height)
-            n_idx = jnp.where(inside, ny * width + nx, -1)
+            n_idx = jnp.where(
+                inside, layout.position_from_xy(nx, ny, width, height), -1
+            )
             state, res = _import_from_prev(
                 res, state, res_packed, gb_packed, own_obj, own_z, n_idx,
                 active & enable_spatial & inside, cam_origin, n, albedo,

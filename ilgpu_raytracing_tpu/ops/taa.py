@@ -19,6 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ilgpu_raytracing_tpu.ops import layout
 from ilgpu_raytracing_tpu.utils import packing
 
 
@@ -37,7 +38,9 @@ def _sample_catrom_srgb(color_packed, w: int, h: int, x, y):
     y2 = jnp.minimum(y1 + 1, h - 1)
 
     def fetch(xi, yi):
-        return packing.unpack_srgb(jnp.take(color_packed, yi * w + xi, mode="clip"))
+        # low-res buffers are block-linear ordered (ops/layout.py)
+        pos = layout.position_from_xy(xi, yi, w, h)
+        return packing.unpack_srgb(jnp.take(color_packed, pos, mode="clip"))
 
     c00 = fetch(x1, y1)
     c10 = fetch(x2, y1)
@@ -91,7 +94,11 @@ def resolve_upsample(
     # nearest low-res objId for disocclusion (RTTaa.cs:196-202)
     ix = _clampi(jnp.round(sx).astype(jnp.int32), 0, in_w - 1)
     iy = _clampi(jnp.round(sy).astype(jnp.int32), 0, in_h - 1)
-    obj = jnp.take(low_obj_id, iy * in_w + ix, mode="clip")
+    obj = jnp.take(
+        low_obj_id,
+        layout.position_from_xy(ix, iy, in_w, in_h),
+        mode="clip",
+    )
 
     hist = packing.unpack_srgb(history_color)
     reset = (~jnp.asarray(history_valid, bool)) | (history_obj_id != obj)

@@ -8,13 +8,15 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ilgpu_raytracing_tpu.ops import layout
 from ilgpu_raytracing_tpu.utils import packing
 
 
 @partial(jax.jit, static_argnames=("src_w", "src_h", "dst_w", "dst_h"))
 def bilinear_upsample(src_packed, src_w: int, src_h: int, dst_w: int, dst_h: int):
     if (src_w, src_h) == (dst_w, dst_h):
-        return src_packed
+        # block-linear src -> row-major presented frame (pure transpose)
+        return layout.to_image(src_packed, src_w, src_h).reshape(-1)
     n = dst_w * dst_h
     idx = jnp.arange(n, dtype=jnp.int32)
     x = idx % dst_w
@@ -29,7 +31,9 @@ def bilinear_upsample(src_packed, src_w: int, src_h: int, dst_w: int, dst_h: int
     ty = jnp.clip(v - y0.astype(jnp.float32), 0.0, 1.0)[..., None]
 
     def fetch(xi, yi):
-        return packing.unpack_rgb8(jnp.take(src_packed, yi * src_w + xi, mode="clip"))
+        # src is block-linear ordered (ops/layout.py)
+        pos = layout.position_from_xy(xi, yi, src_w, src_h)
+        return packing.unpack_rgb8(jnp.take(src_packed, pos, mode="clip"))
 
     c00 = fetch(x0, y0)
     c10 = fetch(x1, y0)

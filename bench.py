@@ -7,15 +7,18 @@ The measured frame is the reference-faithful 1080p pipeline: internal
 tracing at 0.67x per axis capped at 1M ray-pixels (the reference's own
 resolution policy, RTWindow.cs:50-51 + RTRenderer.cs:43) -> ReSTIR path
 trace (spp=2, 3 bounces) -> TAAU upsample to 1920x1080, through the full
-Renderer frame step. Rays are counted as dispatched trace lanes at internal
-resolution: 1 primary + (1 scatter + 1 shadow) per sample per bounce per
-pixel. Timing forces a device->host transfer of the packed 1080p
-framebuffer each frame (block_until_ready is unreliable on the tunneled
-axon backend); the ~8 MB transfer is part of the presented-frame cost, as
-the PBO copy is in the reference.
+Renderer frame step. The headline value counts DISPATCHED trace lanes at
+internal resolution (1 primary + (1 scatter + 1 shadow) per sample per
+bounce per pixel); `detail.mrays_effective` counts only lanes that were
+actually alive when traced (terminated paths and pixels without a selected
+light sample excluded), as measured in-graph by the integrator. Timing
+forces a device->host transfer of the packed 1080p framebuffer each frame
+(block_until_ready is unreliable on the tunneled axon backend); the ~8 MB
+transfer is part of the presented-frame cost, as the PBO copy is in the
+reference.
 
-Scene: procedural Cornell box + tessellated sphere (~36k triangles, one
-mesh BLAS, native SAH build).
+Scene: procedural Cornell box + tessellated sphere (15,552 triangles at
+tess=24, one mesh BLAS, native SAH build).
 """
 
 from __future__ import annotations
@@ -64,7 +67,9 @@ def main():
 
     in_n = r.in_w * r.in_h
     rays_per_frame = in_n * (1 + cfg.spp * cfg.max_depth * 2)
+    eff_rays_per_frame = float(np.asarray(r._last_aux["eff_rays"]))
     mrays = rays_per_frame * n_frames / dt / 1e6
+    mrays_eff = eff_rays_per_frame * n_frames / dt / 1e6
     fps = n_frames / dt
     result = {
         "metric": "mrays_per_sec_1080p_cornell_path_trace",
@@ -73,6 +78,9 @@ def main():
         "vs_baseline": round(mrays / 200.0, 4),
         "detail": {
             "fps_1080p_presented": round(fps, 3),
+            "mrays_effective": round(mrays_eff, 2),
+            "rays_dispatched_per_frame": rays_per_frame,
+            "rays_effective_per_frame": int(eff_rays_per_frame),
             "internal_res": [r.in_w, r.in_h],
             "tris": n_tris,
             "spp": cfg.spp,

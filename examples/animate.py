@@ -61,8 +61,8 @@ def main():
         moved = base_positions.copy()
         n_sphere = 13 * 19  # sphere_tess (12,18) grid verts
         moved[-n_sphere:, 1] += 0.15 * math.sin(phase)
-        r.scene = refit_mesh_instance(
-            builder, r.scene, inst, moved[sphere_verts]
+        r.set_scene(
+            refit_mesh_instance(builder, r.scene, inst, moved[sphere_verts])
         )
 
         cam = Camera.look_at(

@@ -43,6 +43,7 @@ from ilgpu_raytracing_tpu.models.materials import (
     SHADING_MIRROR,
 )
 from ilgpu_raytracing_tpu.models.scene import SceneData
+from ilgpu_raytracing_tpu.ops import alpha as alpha_ops
 from ilgpu_raytracing_tpu.ops import layout
 from ilgpu_raytracing_tpu.ops import rays as rays_mod
 from ilgpu_raytracing_tpu.ops import restir as restir_mod
@@ -93,16 +94,28 @@ def _trace(scene, pscene, o, d, active=None):
     arrive in the frame's static block-linear order (ops/layout.py), which
     supersedes the old per-trace morton/octant runtime sort (ops/sort.py):
     the coherence is comparable and the ~110 ms argsort+gather cost per
-    trace is gone."""
+    trace is gone. Alpha-cutout scenes peel around the opaque kernel
+    (ops/alpha.py) instead of falling back to the XLA tracer."""
     if pscene is None:
         return traverse.trace_closest(scene, o, d, active=active)
     closest, _ = _trace_fns(pscene)
+    if scene.has_alpha:
+        return alpha_ops.trace_closest_peel(
+            lambda oo, dd, act: closest(pscene, oo, dd, active=act),
+            scene, o, d, active,
+        )
     return closest(pscene, o, d, active=active)
 
 
 def _shadow(scene, pscene, o, d, t_max, active=None):
     if pscene is None:
         return traverse.shadow_occlusion(scene, o, d, t_max, active=active)
+    if scene.has_alpha:
+        closest, _ = _trace_fns(pscene)
+        return alpha_ops.shadow_occlusion_peel(
+            lambda oo, dd, act: closest(pscene, oo, dd, active=act),
+            scene, o, d, t_max, active,
+        )
     _, shadow = _trace_fns(pscene)
     return shadow(pscene, o, d, t_max, active=active)
 
@@ -197,7 +210,7 @@ def _path_trace_block(
 
     def bounce_step(carry, depth, allow_reuse: bool):
         (pos, nrm, alb, shade, ior, thr, li, alive, view, state, wrote,
-         res_cur) = carry
+         res_cur, eff) = carry
 
         is_mirror = alive & (shade == SHADING_MIRROR)
         is_glass = alive & (shade == SHADING_GLASS)
@@ -257,6 +270,7 @@ def _path_trace_block(
         occluded = _shadow(
             scene, pscene, shadow_o, sel["wi"], 1e29, active=sel["ok"],
         )
+        eff = eff + jnp.sum(sel["ok"].astype(jnp.float32))
         direct = jnp.where(
             (sel["ok"] & (~occluded))[..., None], sel["contrib"], 0.0
         )
@@ -299,6 +313,7 @@ def _path_trace_block(
         thr = jnp.where(rr_kill[..., None], 0.0, thr)
 
         trace_active = alive & (~rr_kill)
+        eff = eff + jnp.sum(trace_active.astype(jnp.float32))
         ray_o = _offset_origin(pos, offn, new_dir, cfg.eps_n)
         hit = _trace(scene, pscene, ray_o, new_dir, active=trace_active)
         surf = traverse.shade_hits(scene, hit, ray_o, new_dir)
@@ -319,7 +334,7 @@ def _path_trace_block(
 
         return (
             pos, nrm, alb, shade, ior, thr, li, alive, view, state, wrote,
-            res_cur,
+            res_cur, eff,
         ), None
 
     # noise streams stay keyed to the CANONICAL pixel id (y*width+x), not
@@ -327,7 +342,7 @@ def _path_trace_block(
     canonical_idx = py * width + px
 
     def sample_step(carry, s):
-        res_cur, l_accum = carry
+        res_cur, l_accum, eff_accum = carry
         state = rng_mod.seed_from_index(
             canonical_idx, width, frame, s, cfg.rng_salt, noise_key
         )
@@ -345,6 +360,7 @@ def _path_trace_block(
             state,
             jnp.zeros((n,), dtype=bool),
             res_cur,
+            eff_accum,
         )
         # peel bounce 0 (reuse-enabled), scan the rest (candidates-only)
         out, _ = bounce_step(init, jnp.int32(0), allow_reuse=True)
@@ -356,16 +372,20 @@ def _path_trace_block(
             )
         li = out[6]
         res_cur = out[11]
-        return (res_cur, l_accum + vec.safe_color(li, cfg.safe_color_max)), None
+        eff_accum = out[12]
+        return (
+            res_cur, l_accum + vec.safe_color(li, cfg.safe_color_max),
+            eff_accum,
+        ), None
 
-    (res_cur, l_sum), _ = lax.scan(
+    (res_cur, l_sum, eff), _ = lax.scan(
         sample_step,
-        (res_cur_init, jnp.zeros((n, 3), jnp.float32)),
+        (res_cur_init, jnp.zeros((n, 3), jnp.float32), jnp.float32(0.0)),
         jnp.arange(max(1, cfg.spp), dtype=jnp.uint32),
     )
     color = l_sum * (1.0 / float(max(1, cfg.spp)))
     depth = vec.length(gb.pos - cam_origin)
-    return color, depth, gb.obj_id, res_cur
+    return color, depth, gb.obj_id, res_cur, eff
 
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height"))
@@ -386,7 +406,12 @@ def path_trace(
 ):
     """Shade the G-buffer with spp samples of multi-bounce transport.
 
-    Returns (color (N,3) linear, depth (N,), obj_id (N,), res_cur).
+    Returns (color (N,3) linear, depth (N,), obj_id (N,), res_cur,
+    eff_rays). `eff_rays` is the scalar count of ALIVE trace lanes actually
+    dispatched (scatter lanes still alive + shadow lanes with a selected
+    sample); primary-visibility rays are not included. It exists so the
+    bench can report effective-ray throughput next to dispatched-lane
+    throughput.
     `res_cur_init` is the buffer being overwritten this frame (pixels whose
     first diffuse vertex never materializes keep its stale contents, like the
     reference's uncleared ping-pong buffers).
@@ -418,8 +443,11 @@ def path_trace(
             frame, noise_key, sun_dir, cfg, width, height, pscene,
         )
 
-    color, depth, obj_id, res_cur = lax.map(one, xs)
+    color, depth, obj_id, res_cur, eff = lax.map(one, xs)
     unsplit = lambda t: jax.tree_util.tree_map(
         lambda x: x.reshape(n, *x.shape[2:]), t
     )
-    return unsplit(color), unsplit(depth), unsplit(obj_id), unsplit(res_cur)
+    return (
+        unsplit(color), unsplit(depth), unsplit(obj_id), unsplit(res_cur),
+        jnp.sum(eff),
+    )

@@ -23,8 +23,9 @@ broadcast -- the design maps the reference's SIMT divergence problem
 
 Instance transforms, world bounds, and BLAS roots are baked into the kernel
 as python constants (scenes recompile when instances move; the dynamic-scene
-path stays on the XLA tracer). Scenes must fit VMEM (~<100k tris) and have
-no alpha-cutout materials; `supports_scene` gates the fallback.
+path stays on the XLA tracer). Scenes must fit VMEM (~<150k tris);
+`supports_scene` gates the fallback. Alpha-cutout scenes run through the
+peeling wrappers in ops/alpha.py on top of this opaque kernel.
 """
 
 from __future__ import annotations
@@ -73,7 +74,10 @@ class PallasScene:
 
 
 def supports_scene(scene: SceneData, max_tris: int = 150_000) -> bool:
-    return (not scene.has_alpha) and scene.tri_v0.shape[0] <= max_tris
+    """Geometry fits the VMEM/SMEM-resident kernel. Alpha-cutout scenes ARE
+    supported: the integrator peels around the opaque kernel (ops/alpha.py)
+    rather than testing masks in-traversal."""
+    return scene.tri_v0.shape[0] <= max_tris
 
 
 def prepare(scene: SceneData) -> PallasScene:

@@ -9,6 +9,16 @@ with feedback, applies a light unsharp mask, and returns both the output and
 the new history (the reference writes history in place, :168-170; here it
 ping-pongs through the return value).
 
+TPU restructure (same math, different evaluation order): the reference
+gathers + linearizes 4 texels per tap per output pixel (36 flat gathers and
+36 sRGB decodes per frame at 2M output pixels). Here the low-res buffer is
+converted to a linear-light image ONCE, and every tap becomes two
+*separable* axis gathers (`take` along rows / columns with per-axis index
+vectors baked at trace time) -- the tap coordinates depend only on the
+output x (columns) and output y (rows) respectively, never on both. The
+blend weights and clamped tap indices are identical to the per-pixel
+formulation, so results match the naive evaluation to f32 rounding.
+
 No motion vectors (motionScale=0 in the reference, :82-84).
 """
 
@@ -18,42 +28,59 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ilgpu_raytracing_tpu.ops import layout
 from ilgpu_raytracing_tpu.utils import packing
 
 
-def _clampi(x, lo, hi):
-    return jnp.clip(x, lo, hi)
+def _axis_taps(out_size: int, in_size: int, offset: float):
+    """Per-axis tap indices + smoothstep weight for one sample offset.
+
+    Mirrors the per-pixel math of RTTaa.cs:206-229 in float32: coordinate
+    s = (p+0.5)*in/out - 0.5 + offset, i1 = clamp(floor(s)), i2 = min(i1+1),
+    f = s - i1 (post-clamp), tt = f*(2-f).
+    """
+    p = np.arange(out_size, dtype=np.float32)
+    ratio = np.float32(float(in_size) / float(out_size))
+    s = (p + np.float32(0.5)) * ratio - np.float32(0.5)
+    if offset:
+        s = s + np.float32(offset)
+    i1 = np.clip(np.floor(s).astype(np.int32), 0, in_size - 1)
+    i2 = np.minimum(i1 + 1, in_size - 1)
+    f = s - i1.astype(np.float32)
+    tt = f * (np.float32(2.0) - f)
+    return jnp.asarray(i1), jnp.asarray(i2), jnp.asarray(tt)
 
 
-def _sample_catrom_srgb(color_packed, w: int, h: int, x, y):
-    """Smoothstep-weighted 2x2 reconstruction in linear space
-    (RTTaa.cs:206-229)."""
-    x1 = _clampi(jnp.floor(x).astype(jnp.int32), 0, w - 1)
-    y1 = _clampi(jnp.floor(y).astype(jnp.int32), 0, h - 1)
-    fx = x - x1.astype(jnp.float32)
-    fy = y - y1.astype(jnp.float32)
-    x2 = jnp.minimum(x1 + 1, w - 1)
-    y2 = jnp.minimum(y1 + 1, h - 1)
+def _nearest_taps(out_size: int, in_size: int):
+    """Nearest low-res index per output index (RTTaa.cs:196-202)."""
+    p = np.arange(out_size, dtype=np.float32)
+    ratio = np.float32(float(in_size) / float(out_size))
+    s = (p + np.float32(0.5)) * ratio - np.float32(0.5)
+    return jnp.asarray(
+        np.clip(np.round(s).astype(np.int32), 0, in_size - 1)
+    )
 
-    def fetch(xi, yi):
-        # low-res buffers are block-linear ordered (ops/layout.py)
-        pos = layout.position_from_xy(xi, yi, w, h)
-        return packing.unpack_srgb(jnp.take(color_packed, pos, mode="clip"))
 
-    c00 = fetch(x1, y1)
-    c10 = fetch(x2, y1)
-    c01 = fetch(x1, y2)
-    c11 = fetch(x2, y2)
+def _sample_x(img, out_w: int, offset: float):
+    """(in_h, in_w, 3) -> (in_h, out_w, 3) smoothstep blend along x."""
+    in_w = img.shape[1]
+    x1, x2, ttx = _axis_taps(out_w, in_w, offset)
+    a = jnp.take(img, x1, axis=1)
+    b = jnp.take(img, x2, axis=1)
+    w = ttx[None, :, None]
+    return a * (1.0 - w) + b * w
 
-    def catrom(a, b, t):
-        tt = t * (2.0 - t)
-        return a * (1.0 - tt)[..., None] + b * tt[..., None]
 
-    cx0 = catrom(c00, c10, fx)
-    cx1 = catrom(c01, c11, fx)
-    return catrom(cx0, cx1, fy)
+def _sample_y(img, out_h: int, offset: float):
+    """(in_h, W, 3) -> (out_h, W, 3) smoothstep blend along y."""
+    in_h = img.shape[0]
+    y1, y2, tty = _axis_taps(out_h, in_h, offset)
+    a = jnp.take(img, y1, axis=0)
+    b = jnp.take(img, y2, axis=0)
+    w = tty[:, None, None]
+    return a * (1.0 - w) + b * w
 
 
 @partial(jax.jit, static_argnames=("in_w", "in_h", "out_w", "out_h"))
@@ -70,35 +97,37 @@ def resolve_upsample(
     feedback: float = 0.075,
     sharpness: float = 0.10,
 ):
-    n = out_w * out_h
-    idx = jnp.arange(n, dtype=jnp.int32)
-    px = idx % out_w
-    py = idx // out_w
+    # linearize the low-res frame once (block-linear -> image is a pure
+    # reshape/transpose, ops/layout.py)
+    low_img = packing.unpack_srgb(layout.to_image(low_color, in_w, in_h))
 
-    sx = (px.astype(jnp.float32) + 0.5) * (float(in_w) / float(out_w)) - 0.5
-    sy = (py.astype(jnp.float32) + 0.5) * (float(in_h) / float(out_h)) - 0.5
-
-    cur = _sample_catrom_srgb(low_color, in_w, in_h, sx, sy)
+    # 3 x-offsets x 3 y-offsets = the center tap + 8 neighborhood taps
+    tx = {ox: _sample_x(low_img, out_w, ox * 0.5) for ox in (-1, 0, 1)}
+    cur = _sample_y(tx[0], out_h, 0.0)
     nmin = cur
     nmax = cur
     for oy in (-1, 0, 1):
         for ox in (-1, 0, 1):
             if ox == 0 and oy == 0:
                 continue
-            c = _sample_catrom_srgb(
-                low_color, in_w, in_h, sx + ox * 0.5, sy + oy * 0.5
-            )
+            c = _sample_y(tx[ox], out_h, oy * 0.5)
             nmin = jnp.minimum(nmin, c)
             nmax = jnp.maximum(nmax, c)
 
     # nearest low-res objId for disocclusion (RTTaa.cs:196-202)
-    ix = _clampi(jnp.round(sx).astype(jnp.int32), 0, in_w - 1)
-    iy = _clampi(jnp.round(sy).astype(jnp.int32), 0, in_h - 1)
+    obj_img = layout.to_image(low_obj_id, in_w, in_h)
     obj = jnp.take(
-        low_obj_id,
-        layout.position_from_xy(ix, iy, in_w, in_h),
-        mode="clip",
+        jnp.take(obj_img, _nearest_taps(out_h, in_h), axis=0),
+        _nearest_taps(out_w, in_w),
+        axis=1,
     )
+
+    # history blend at output res (row-major flat buffers)
+    flat = lambda x: x.reshape(out_h * out_w, *x.shape[3:])
+    cur = cur.reshape(-1, 3)
+    nmin = nmin.reshape(-1, 3)
+    nmax = nmax.reshape(-1, 3)
+    obj = obj.reshape(-1)
 
     hist = packing.unpack_srgb(history_color)
     reset = (~jnp.asarray(history_valid, bool)) | (history_obj_id != obj)

@@ -1,5 +1,11 @@
 """Blit / bilinear upsample of packed color (non-TAAU present path,
-reference RTRenderer.cs:281-320)."""
+reference RTRenderer.cs:281-320).
+
+Evaluated separably (take along columns, then rows, with index/weight
+vectors baked at trace time) -- the tap coordinates depend only on the
+output x and output y respectively. Same math as the per-pixel
+formulation, restructured for TPU.
+"""
 
 from __future__ import annotations
 
@@ -7,9 +13,21 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ilgpu_raytracing_tpu.ops import layout
 from ilgpu_raytracing_tpu.utils import packing
+
+
+def _axis_taps(out_size: int, in_size: int):
+    """i0/i1/weight per output index (RTRenderer.cs:287-320 bilinear)."""
+    p = np.arange(out_size, dtype=np.float32)
+    ratio = np.float32(float(in_size) / float(out_size))
+    s = (p + np.float32(0.5)) * ratio - np.float32(0.5)
+    i0 = np.clip(np.floor(s).astype(np.int32), 0, in_size - 1)
+    i1 = np.clip(i0 + 1, 0, in_size - 1)
+    t = np.clip(s - i0.astype(np.float32), 0.0, 1.0)
+    return jnp.asarray(i0), jnp.asarray(i1), jnp.asarray(t)
 
 
 @partial(jax.jit, static_argnames=("src_w", "src_h", "dst_w", "dst_h"))
@@ -17,28 +35,14 @@ def bilinear_upsample(src_packed, src_w: int, src_h: int, dst_w: int, dst_h: int
     if (src_w, src_h) == (dst_w, dst_h):
         # block-linear src -> row-major presented frame (pure transpose)
         return layout.to_image(src_packed, src_w, src_h).reshape(-1)
-    n = dst_w * dst_h
-    idx = jnp.arange(n, dtype=jnp.int32)
-    x = idx % dst_w
-    y = idx // dst_w
-    u = (x.astype(jnp.float32) + 0.5) * (float(src_w) / float(dst_w)) - 0.5
-    v = (y.astype(jnp.float32) + 0.5) * (float(src_h) / float(dst_h)) - 0.5
-    x0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, src_w - 1)
-    y0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, src_h - 1)
-    x1 = jnp.clip(x0 + 1, 0, src_w - 1)
-    y1 = jnp.clip(y0 + 1, 0, src_h - 1)
-    tx = jnp.clip(u - x0.astype(jnp.float32), 0.0, 1.0)[..., None]
-    ty = jnp.clip(v - y0.astype(jnp.float32), 0.0, 1.0)[..., None]
-
-    def fetch(xi, yi):
-        # src is block-linear ordered (ops/layout.py)
-        pos = layout.position_from_xy(xi, yi, src_w, src_h)
-        return packing.unpack_rgb8(jnp.take(src_packed, pos, mode="clip"))
-
-    c00 = fetch(x0, y0)
-    c10 = fetch(x1, y0)
-    c01 = fetch(x0, y1)
-    c11 = fetch(x1, y1)
-    cx0 = c00 * (1 - tx) + c10 * tx
-    cx1 = c01 * (1 - tx) + c11 * tx
-    return packing.pack_rgba8(cx0 * (1 - ty) + cx1 * ty)
+    img = packing.unpack_rgb8(layout.to_image(src_packed, src_w, src_h))
+    x0, x1, tx = _axis_taps(dst_w, src_w)
+    y0, y1, ty = _axis_taps(dst_h, src_h)
+    a = jnp.take(img, x0, axis=1)
+    b = jnp.take(img, x1, axis=1)
+    w = tx[None, :, None]
+    cx = a * (1.0 - w) + b * w
+    a = jnp.take(cx, y0, axis=0)
+    b = jnp.take(cx, y1, axis=0)
+    w = ty[:, None, None]
+    return packing.pack_rgba8((a * (1.0 - w) + b * w).reshape(-1, 3))

@@ -56,7 +56,7 @@ def render_frame(
     gb = integrator.primary_visibility(
         scene, camera, in_w, in_h, cfg.chunk_pixels, pscene
     )
-    color, depth, obj_id, res_cur = integrator.path_trace(
+    color, depth, obj_id, res_cur, eff_rays = integrator.path_trace(
         scene, gb, camera, prev_camera, state.res_prev, state.res_cur,
         frame, noise_key, sun_dir, cfg, in_w, in_h, pscene,
     )
@@ -96,7 +96,11 @@ def render_frame(
         accum=accum,
         accum_count=count,
     )
-    aux = dict(color=color, depth=depth, obj_id=obj_id)
+    # effective rays = alive dispatched trace lanes + one primary per pixel
+    aux = dict(
+        color=color, depth=depth, obj_id=obj_id,
+        eff_rays=eff_rays + jnp.float32(in_w * in_h),
+    )
     return out_packed, new_state, aux
 
 
@@ -122,14 +126,7 @@ class Renderer:
             )
         self.scene = scene
         self.pscene = None
-        if self.cfg.use_pallas_trace and jax.default_backend() != "cpu":
-            # on CPU the packet kernel would run in the (slow) pallas
-            # interpreter; the XLA tracer is clean and faster there
-            from ilgpu_raytracing_tpu.ops.pallas import traverse_kernel as _tk
-            from ilgpu_raytracing_tpu.ops.pallas import wide_kernel as _wk
-
-            if _tk.supports_scene(scene):
-                self.pscene = _wk.prepare_wide(_tk.prepare(scene))
+        self._prepare_pscene(scene)
         self.out_w, self.out_h = out_w, out_h
         self.in_w, self.in_h = self.cfg.internal_resolution(out_w, out_h)
         if camera is None:
@@ -149,7 +146,33 @@ class Renderer:
         self.hud = FrameTimingHud()
         self._rng = random.Random(0x5EED)
         self._last_packed = None
+        self._last_aux = None
         self._camera_moved = True
+
+    # ---- scene ----
+
+    def _prepare_pscene(self, scene: SceneData) -> None:
+        if self.cfg.use_pallas_trace and jax.default_backend() != "cpu":
+            # on CPU the packet kernel would run in the (slow) pallas
+            # interpreter; the XLA tracer is clean and faster there
+            from ilgpu_raytracing_tpu.ops.pallas import traverse_kernel as _tk
+            from ilgpu_raytracing_tpu.ops.pallas import wide_kernel as _wk
+
+            if _tk.supports_scene(scene):
+                self.pscene = _wk.prepare_wide(_tk.prepare(scene))
+                return
+        self.pscene = None
+
+    def set_scene(self, scene: SceneData) -> None:
+        """Swap (or refit-update) the committed scene.
+
+        Re-packs the prepared Pallas kernel scene so animated/refit geometry
+        (refit_mesh_instance, models/scene.py) traces current bounds on the
+        production packet path; without this the kernel would keep tracing
+        the geometry baked at construction time.
+        """
+        self.scene = scene
+        self._prepare_pscene(scene)
 
     # ---- camera ----
 
@@ -217,6 +240,7 @@ class Renderer:
         self.frame += 1
         self._camera_moved = False
         self._last_packed = packed
+        self._last_aux = aux
         self.hud.push(time.monotonic() - t0)
         return packed
 

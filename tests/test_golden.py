@@ -29,7 +29,7 @@ def _render(scene, cam, w, h, frames=2):
     for f in range(frames):
         gb = integrator.primary_visibility(scene, cam, w, h)
         rp, rc = (ra, rb) if f % 2 == 0 else (rb, ra)
-        color, *_, rc = integrator.path_trace(
+        color, _, _, rc, _ = integrator.path_trace(
             scene, gb, cam, prev, rp, rc, f, np.uint32(1234), sun, cfg, w, h
         )
         if f % 2 == 0:

@@ -43,7 +43,7 @@ def test_output_finite_and_bounded():
     _, scene = build_default_scene()
     cfg = RenderConfig(spp=2, max_depth=3)
     cam = Camera.create(64, 48)
-    color, depth, obj, res = _run(scene, cam, cfg, 64, 48)
+    color, depth, obj, res, _ = _run(scene, cam, cfg, 64, 48)
     c = np.asarray(color)
     assert np.isfinite(c).all()
     assert c.min() >= 0.0
@@ -153,7 +153,7 @@ def test_reservoir_written_at_first_diffuse_vertex():
     _, scene = build_default_scene()
     cfg = RenderConfig(spp=1)
     cam = Camera.create(32, 24)
-    color, depth, obj, res = _run(scene, cam, cfg, 32, 24)
+    color, depth, obj, res, _ = _run(scene, cam, cfg, 32, 24)
     m = np.asarray(res.m)
     gb = integrator.primary_visibility(scene, cam, 32, 24)
     lambert_primary = np.asarray(gb.hit) & (np.asarray(gb.shading) == 0)
@@ -189,7 +189,7 @@ def test_chunked_matches_unchunked():
     n = w * h
     sun = sky.sun_direction(0.0, 0.9)
     # seed res_prev with a prior frame so reuse gathers are exercised
-    c0, _, _, res_seed = integrator.path_trace(
+    c0, _, _, res_seed, _ = integrator.path_trace(
         scene, gb1, cam, cam, restir.Reservoirs.empty(n),
         restir.Reservoirs.empty(n), 0, np.uint32(5), sun, cfg_mono, w, h,
     )

@@ -3,6 +3,7 @@ import numpy as np
 from ilgpu_raytracing_tpu.config import RenderConfig
 from ilgpu_raytracing_tpu.runtime.controller import InputState
 from ilgpu_raytracing_tpu.runtime.interactive import (
+    EventPump,
     InteractiveSession,
     scripted_input,
 )
@@ -29,6 +30,67 @@ def test_interactive_scripted_session():
     assert not np.allclose(presented[0][0], presented[-1][0])
     # a second run replays the script from the start
     assert sess.run(max_frames=2) == 2
+
+
+def test_event_pump_semantics():
+    """Window-event plumbing (RTWindow.cs:131-146, 255-314): capture toggle
+    on E, captured-only mouse deltas, per-poll delta consume, key holds."""
+    p = EventPump()
+    # held keys + modifiers survive across polls until released
+    p.key_down("w")
+    p.key_down("Shift_L")
+    inp = p.poll()
+    assert inp.w and inp.shift and inp.captured
+    p.key_up("w")
+    p.key_up("Shift_L")
+    # mouse deltas accumulate while captured; first motion only sets the
+    # reference position
+    p.mouse_move(100, 100)
+    p.mouse_move(110, 95)
+    p.mouse_move(112, 95)
+    inp = p.poll()
+    assert inp.mouse_dx == 12.0 and inp.mouse_dy == -5.0
+    assert not inp.w and not inp.shift
+    # deltas are consumed by poll
+    assert p.poll().mouse_dx == 0.0
+    # E toggles capture; uncaptured motion is ignored
+    p.key_down("e")
+    p.mouse_move(0, 0)
+    p.mouse_move(50, 50)
+    inp = p.poll()
+    assert not inp.captured and inp.mouse_dx == 0.0
+    p.key_down("e")
+    assert p.poll().captured
+    # scroll accumulates and consumes
+    p.scroll(1.0)
+    p.scroll(1.0)
+    assert p.poll().scroll_dy == 2.0
+    # Escape / close ends the session
+    p.key_down("Escape")
+    assert p.poll() is None
+
+
+def test_event_pump_drives_session():
+    """A human-input session goes through EventPump.poll as the provider —
+    the exact path TkInputWindow uses."""
+    r = Renderer(out_w=48, out_h=32, cfg=RenderConfig(spp=1, max_depth=1))
+    p = EventPump()
+    events = {
+        0: lambda: p.key_down("w"),
+        1: lambda: (p.mouse_move(0, 0), p.mouse_move(30, 10)),
+        2: lambda: p.close(),
+    }
+
+    def provider(frame: int):
+        ev = events.get(frame)
+        if ev is not None:
+            ev()
+        return p.poll()
+
+    start_origin = np.asarray(r.camera.origin).copy()
+    sess = InteractiveSession(r, provider)
+    assert sess.run() == 2
+    assert not np.allclose(np.asarray(r.camera.origin), start_origin)
 
 
 def test_many_instances_stress():

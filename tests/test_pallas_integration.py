@@ -32,15 +32,95 @@ def test_renderer_pallas_vs_xla_close():
 
 
 def test_unsupported_scene_falls_back():
-    import jax.numpy as jnp
-
-    from ilgpu_raytracing_tpu.models.scene import SceneData, build_default_scene
+    from ilgpu_raytracing_tpu.models.scene import build_default_scene
     from ilgpu_raytracing_tpu.ops.pallas import traverse_kernel as tk
 
     _, scene = build_default_scene()
-    huge = scene.replace(has_alpha=True)
-    assert not tk.supports_scene(huge)
+    # alpha maps no longer disqualify a scene (the integrator peels around
+    # the opaque kernel, ops/alpha.py); only geometry size does
+    assert tk.supports_scene(scene.replace(has_alpha=True))
+    assert not tk.supports_scene(scene, max_tris=-1)
     cfg = RenderConfig(spp=1, max_depth=1, use_pallas_trace=True)
-    r = Renderer(out_w=32, out_h=24, cfg=cfg, scene=huge)
-    assert r.pscene is None  # alpha scenes fall back to the XLA tracer
+    r = Renderer(out_w=32, out_h=24, cfg=cfg, scene=scene.replace(has_alpha=True))
     r.render()
+
+
+def test_alpha_peel_matches_xla_oracle(tmp_path):
+    """Closest + shadow alpha-cutout peeling over the packet kernel must
+    match the XLA tracer's in-traversal alpha tests
+    (SceneDeviceViews.cs:208-218, 297-315 semantics on both paths)."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests.test_obj_loader import _write, _write_png
+    from ilgpu_raytracing_tpu.models import obj_loader
+    from ilgpu_raytracing_tpu.models.scene import SceneBuilder
+    from ilgpu_raytracing_tpu.ops import alpha as alpha_ops
+    from ilgpu_raytracing_tpu.ops import traverse
+    from ilgpu_raytracing_tpu.ops.pallas import traverse_kernel as tk
+    from ilgpu_raytracing_tpu.ops.pallas import wide_kernel as wk
+
+    d_dir = str(tmp_path)
+    tex = np.zeros((8, 8, 4), np.uint8)
+    tex[..., 0] = 200
+    tex[..., 3] = 255
+    _write_png(os.path.join(d_dir, "diffuse.png"), tex)
+    mask = np.zeros((8, 8, 4), np.uint8)
+    mask[:, 4:, :3] = 255  # left half transparent, right opaque
+    mask[..., 3] = 255
+    _write_png(os.path.join(d_dir, "mask.png"), mask)
+    _write(
+        os.path.join(d_dir, "scene.mtl"),
+        "newmtl leaf\nKd 0.2 0.7 0.2\nmap_Kd diffuse.png\nmap_d mask.png\n"
+        "newmtl wall\nKd 0.8 0.8 0.8\n",
+    )
+    _write(
+        os.path.join(d_dir, "scene.obj"),
+        "mtllib scene.mtl\n"
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "v 0 0 -1\nv 1 0 -1\nv 1 1 -1\nv 0 1 -1\n"
+        "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+        "usemtl leaf\nf 1/1 2/2 3/3 4/4\n"
+        "usemtl wall\nf 5/1 6/2 7/3 8/4\n",
+    )
+    b = SceneBuilder()
+    obj_loader.add_obj_instance(b, os.path.join(d_dir, "scene.obj"))
+    scene = b.commit()
+    assert scene.has_alpha
+
+    wscene = wk.prepare_wide(tk.prepare(scene))
+    closest = lambda oo, dd, act: wk.trace_closest_wide(
+        wscene, oo, dd, active=act
+    )
+
+    # ray fan crossing both the transparent and opaque halves
+    rs = np.random.RandomState(7)
+    n = 512
+    o = jnp.asarray(
+        np.stack(
+            [rs.uniform(-0.2, 1.2, n), rs.uniform(-0.2, 1.2, n), np.full(n, 2.0)],
+            axis=1,
+        ).astype(np.float32)
+    )
+    d = jnp.asarray(
+        np.stack(
+            [rs.uniform(-0.2, 0.2, n), rs.uniform(-0.2, 0.2, n), np.full(n, -1.0)],
+            axis=1,
+        ).astype(np.float32)
+    )
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    got = alpha_ops.trace_closest_peel(closest, scene, o, d)
+    ref = traverse.trace_closest(scene, o, d)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    np.testing.assert_allclose(
+        np.asarray(got.t)[np.asarray(ref.hit)],
+        np.asarray(ref.t)[np.asarray(ref.hit)],
+        rtol=1e-4, atol=1e-4,
+    )
+
+    occ_got = alpha_ops.shadow_occlusion_peel(closest, scene, o, d, 1e29)
+    occ_ref = traverse.shadow_occlusion(scene, o, d, 1e29)
+    np.testing.assert_array_equal(np.asarray(occ_got), np.asarray(occ_ref))

@@ -53,6 +53,18 @@ class RenderConfig:
     delta_candidates: int = 1
     compat_normal_dot: float = 0.85
     compat_depth_rel: float = 0.05
+    # True reproduces the reference's exact reuse weighting
+    # (RTRay.cs:407-435, 518-539), which is measurably biased: its final
+    # shading divides f/pdfSel by the stored *score*, a combination that
+    # cancels to an unbiased RIS estimator for fresh candidates but not for
+    # imported ones (the imported sample is RIS-distributed, not
+    # cos-distributed). Measured +52% mean direct lighting on the default
+    # scene, +163% on an ideal uniform plane (tools/restir_bias.py). The
+    # default (False) stores the target value s_hat(y) in the reservoir and
+    # shades with f * wSum / (m * s_hat), which is mean-preserving
+    # (tests/test_restir_stats.py) and identical to the reference on the
+    # candidates-only path.
+    restir_reference_weighting: bool = False
 
     # --- RNG ---
     # 0 => locked (frame-invariant noise); nonzero => distinct stream selector /

@@ -167,6 +167,7 @@ def _merge_reservoirs(dst, src, mask):
         w_sum=mrg1(dst.w_sum, src.w_sum),
         m=mrg1(dst.m, src.m),
         light_id=mrg1(dst.light_id, src.light_id),
+        W=mrg1(dst.W, src.W),
     )
 
 
@@ -265,6 +266,7 @@ def _path_trace_block(
             sun_dir, sun_radiance, sky_top, sky_bottom, en_t, en_s,
             cfg.local_candidates, cfg.delta_candidates,
             static_reuse=static_reuse,
+            reference_weighting=cfg.restir_reference_weighting,
         )
         shadow_o = _offset_origin(pos, nrm, sel["wi"], cfg.eps_n)
         occluded = _shadow(

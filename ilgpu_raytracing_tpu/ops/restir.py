@@ -10,9 +10,19 @@ Algorithm parity with the reference (RTRay.cs:327-543):
 * spatial reuse: 8-neighborhood of PREV-frame reservoirs with hashed
   rotation / radius 1-2 (:485-516);
 * imported reservoirs are re-scored at the receiver with the
-  unbiased-contribution-weight W = wSum / (m * w) (:407-435);
-* one visibility ray for the selected sample only; contribution
-  f/p * W (:518-539).
+  contribution weight W = wSum / (m * w) (:407-435);
+* one visibility ray for the selected sample only (:518-539).
+
+Deliberate divergence: the reference's exact reuse weighting is measurably
+BIASED (its W is computed from the stored *score*, which makes the final
+f/pdfSel * W cancel to f/(m*pdfSel) per candidate -- correct for fresh
+cos-distributed candidates, wrong for imports whose sample is
+RIS-distributed; +52% mean direct light on the default scene). By default
+this module stores the target value s_hat(y) in the reservoir `w` slot and
+shades with f * wSum / (m * s_hat), the textbook unbiased RIS/UCW estimator;
+it is numerically identical to the reference on the candidates-only path.
+`RenderConfig.restir_reference_weighting=True` reproduces the reference's
+formula exactly (kept for behavioral A/B parity).
 
 Neighbor compatibility uses the CURRENT frame's G-buffer on both sides, like
 the reference (:362-374) -- including for the temporally reprojected pixel (a
@@ -51,10 +61,11 @@ class Reservoirs:
     L: jnp.ndarray  # (N,3) candidate radiance
     wi: jnp.ndarray  # (N,3) candidate direction
     pdf: jnp.ndarray  # (N,) selection pdf (mixture)
-    w: jnp.ndarray  # (N,) score at selection
+    w: jnp.ndarray  # (N,) winner's target value s_hat(y) (score in ref mode)
     w_sum: jnp.ndarray  # (N,) sum of scores
     m: jnp.ndarray  # (N,) i32 candidates seen
     light_id: jnp.ndarray  # (N,) i32
+    W: jnp.ndarray  # (N,) final unbiased contribution weight wSum/(Z*s_hat)
 
     @staticmethod
     def empty(n: int) -> "Reservoirs":
@@ -66,6 +77,7 @@ class Reservoirs:
             w_sum=jnp.zeros((n,), jnp.float32),
             m=jnp.zeros((n,), jnp.int32),
             light_id=jnp.zeros((n,), jnp.int32),
+            W=jnp.zeros((n,), jnp.float32),
         )
 
     def gather(self, idx: jnp.ndarray) -> "Reservoirs":
@@ -78,12 +90,18 @@ class Reservoirs:
             w_sum=take(self.w_sum),
             m=take(self.m),
             light_id=take(self.light_id),
+            W=take(self.W),
         )
 
 
-def reservoir_update(res: Reservoirs, state, wi, pdf_sel, li, score, light_id,
-                     mask):
-    """Masked streaming update (RTRay.cs:393-405). Returns (state, res)."""
+def reservoir_update(res: Reservoirs, state, wi, pdf_sel, li, score, s_hat,
+                     light_id, mask):
+    """Masked streaming update (RTRay.cs:393-405). Returns (state, res).
+
+    `score` drives selection and accumulates into w_sum; `s_hat` is what the
+    `w` slot records for the winner. The reference stores the score itself
+    (s_hat == score); the default unbiased weighting stores the target value
+    s_hat(y) so the UCW wSum/(m*w) is the true 1/s_hat(y) * wSum/m."""
     add = jnp.where(mask, score, 0.0)
     new_sum = res.w_sum + add
     accept_p = jnp.where(new_sum > 0.0, add / jnp.maximum(new_sum, EPS_MIN), 0.0)
@@ -94,10 +112,11 @@ def reservoir_update(res: Reservoirs, state, wi, pdf_sel, li, score, light_id,
         L=jnp.where(take[..., None], li, res.L),
         wi=jnp.where(take[..., None], wi, res.wi),
         pdf=jnp.where(take, pdf_sel, res.pdf),
-        w=jnp.where(take, score, res.w),
+        w=jnp.where(take, s_hat, res.w),
         w_sum=jnp.where(mask, new_sum, res.w_sum),
         m=res.m + jnp.where(mask, 1, 0).astype(jnp.int32),
         light_id=jnp.where(take, lid, res.light_id),
+        W=res.W,
     )
 
 
@@ -144,6 +163,7 @@ def _pack_reservoirs(res_prev: Reservoirs):
             res_prev.w_sum[:, None],
             res_prev.m.astype(jnp.float32)[:, None],
             res_prev.light_id.astype(jnp.float32)[:, None],
+            res_prev.W[:, None],
         ],
         axis=1,
     )
@@ -159,7 +179,8 @@ def _pack_gbuffer(gb):
 
 def _import_from_prev(res, state, res_packed, gb_packed, own_obj, own_z,
                       prev_idx, mask, cam_origin, n, albedo,
-                      mix_local, mix_delta, sun_radiance, sky_top, sky_bottom):
+                      mix_local, mix_delta, sun_radiance, sky_top, sky_bottom,
+                      reference_weighting: bool):
     """Import + re-score a prev-frame reservoir (RTRay.cs:407-435).
 
     Two row-gathers per import: the packed prev reservoir and the packed
@@ -189,8 +210,11 @@ def _import_from_prev(res, state, res_packed, gb_packed, own_obj, own_z,
         w_sum=row[:, 8],
         m=row[:, 9].astype(jnp.int32),
         light_id=row[:, 10].astype(jnp.int32),
+        W=row[:, 11],
     )
     valid = valid & (pr.m > 0) & (pr.w > 0.0) & (pr.w_sum > 0.0)
+    if not reference_weighting:
+        valid = valid & (pr.W > 0.0)
 
     wi = pr.wi
     is_sun = pr.light_id == LIGHT_SUN
@@ -205,14 +229,27 @@ def _import_from_prev(res, state, res_packed, gb_packed, own_obj, own_z,
         jnp.maximum(EPS_MIN, mix_delta),
         jnp.maximum(EPS_MIN, cos_hemisphere_pdf(n, wi) * mix_local),
     )
-    f_over_p = albedo * li * ((nl / pdf_here) * INV_PI)[..., None]
-    s_here = vec.luminance(f_over_p)
-    w_src = pr.w_sum / (
-        jnp.maximum(1, pr.m).astype(jnp.float32) * jnp.maximum(EPS_MIN, pr.w)
-    )
-    eff = s_here * w_src
+    if reference_weighting:
+        # Reference formula (RTRay.cs:418-434): Wsrc recomputed from the
+        # stored score, import score = lum(f/pdfHere)*Wsrc, stored w = that
+        # score. Biased -- see RenderConfig docstring.
+        w_src = pr.w_sum / (
+            jnp.maximum(1, pr.m).astype(jnp.float32)
+            * jnp.maximum(EPS_MIN, pr.w)
+        )
+        s_here = vec.luminance(albedo * li * ((nl / pdf_here) * INV_PI)[..., None])
+        eff = s_here * w_src
+        s_hat = eff
+    else:
+        # Unbiased merge: candidate weight s_hat_here(y) * Wsrc with Wsrc the
+        # source's stored Z-corrected UCW; stored w = s_hat_here(y).
+        s_hat = vec.luminance(albedo * li * (nl * INV_PI)[..., None])
+        eff = s_hat * pr.W
     lid = jnp.where(is_sun, LIGHT_SUN, LIGHT_ENV)
-    return reservoir_update(res, state, wi, pdf_here, li, eff, lid, valid)
+    state, res = reservoir_update(
+        res, state, wi, pdf_here, li, eff, s_hat, lid, valid
+    )
+    return state, res, n_b, valid
 
 
 def _neighbor_offsets(rot, radius):
@@ -260,6 +297,7 @@ def restir_direct(
     local_candidates: int = 8,
     delta_candidates: int = 1,
     static_reuse: bool = True,
+    reference_weighting: bool = False,
 ):
     """Candidate generation + reuse + selection (RTRay.cs:437-516).
 
@@ -286,10 +324,11 @@ def restir_direct(
         pdf_local = jnp.maximum(EPS_MIN, cos_hemisphere_pdf(n, wi))
         pdf_sel = jnp.maximum(EPS_MIN, pdf_local * mix_local)
         li = sky_ops.sky_radiance(wi, sky_top, sky_bottom)
-        f_over_p = albedo * li * ((nl / pdf_sel) * INV_PI)[..., None]
-        s = vec.luminance(f_over_p)
+        s_hat = vec.luminance(albedo * li * (nl * INV_PI)[..., None])
+        s = s_hat / pdf_sel
         state, res = reservoir_update(
-            res, state, wi, pdf_sel, li, s, LIGHT_ENV, active
+            res, state, wi, pdf_sel, li, s,
+            s if reference_weighting else s_hat, LIGHT_ENV, active
         )
 
     # (2) directional sun delta candidate
@@ -299,12 +338,14 @@ def restir_direct(
     nl = jnp.maximum(0.0, vec.dot(n, wi_sun))
     pdf_sel = jnp.full_like(nl, max(EPS_MIN, mix_delta))
     li_sun = jnp.broadcast_to(jnp.asarray(sun_radiance, jnp.float32), pos.shape)
-    f_over_p = albedo * li_sun * ((nl / pdf_sel) * INV_PI)[..., None]
-    s = vec.luminance(f_over_p)
+    s_hat = vec.luminance(albedo * li_sun * (nl * INV_PI)[..., None])
+    s = s_hat / pdf_sel
     state, res = reservoir_update(
-        res, state, wi_sun, pdf_sel, li_sun, s, LIGHT_SUN, active
+        res, state, wi_sun, pdf_sel, li_sun, s,
+        s if reference_weighting else s_hat, LIGHT_SUN, active
     )
 
+    imports = []  # (src_normal, accepted-into-stream mask) per import
     if static_reuse:
         res_packed = _pack_reservoirs(res_prev)
         gb_packed = _pack_gbuffer(gb)
@@ -314,11 +355,12 @@ def restir_direct(
 
         # (3) temporal reuse via camera reprojection
         prev_idx = reproject_to_prev_pixel(pos, prev_cam, width, height)
-        state, res = _import_from_prev(
+        state, res, n_b, vld = _import_from_prev(
             res, state, res_packed, gb_packed, own_obj, own_z, prev_idx,
             active & enable_temporal, cam_origin, n, albedo, mix_local,
-            mix_delta, sun_radiance, sky_top, sky_bottom,
+            mix_delta, sun_radiance, sky_top, sky_bottom, reference_weighting,
         )
+        imports.append((n_b, vld))
 
         # (4) spatial reuse: 8 prev-frame neighbors, hashed rotation/radius.
         # The hash keys on the canonical pixel id (y*w+x), not the array
@@ -339,11 +381,13 @@ def restir_direct(
             n_idx = jnp.where(
                 inside, layout.position_from_xy(nx, ny, width, height), -1
             )
-            state, res = _import_from_prev(
+            state, res, n_b, vld = _import_from_prev(
                 res, state, res_packed, gb_packed, own_obj, own_z, n_idx,
                 active & enable_spatial & inside, cam_origin, n, albedo,
                 mix_local, mix_delta, sun_radiance, sky_top, sky_bottom,
+                reference_weighting,
             )
+            imports.append((n_b, vld))
 
     # (5) selection shading (visibility applied by the caller)
     ok = active & (res.m > 0) & (res.w_sum > 0.0) & (res.w > 0.0)
@@ -351,19 +395,39 @@ def restir_direct(
     is_sun = res.light_id == LIGHT_SUN
     nl_sel = jnp.maximum(0.0, vec.dot(n, wi_sel))
     ok = ok & (nl_sel > 0.0)
-    pdf_sel = jnp.where(
-        is_sun,
-        jnp.maximum(EPS_MIN, mix_delta),
-        jnp.maximum(EPS_MIN, cos_hemisphere_pdf(n, wi_sel) * mix_local),
-    )
     li_sel = jnp.where(
         is_sun[..., None],
         jnp.asarray(sun_radiance, jnp.float32),
         sky_ops.sky_radiance(wi_sel, sky_top, sky_bottom),
     )
-    f_over_p = albedo * li_sel * ((nl_sel / pdf_sel) * INV_PI)[..., None]
-    w_ucw = res.w_sum / jnp.maximum(1, res.m).astype(jnp.float32) / jnp.maximum(
-        EPS_MIN, res.w
-    )
-    contrib = f_over_p * w_ucw[..., None]
+    if reference_weighting:
+        z_count = jnp.maximum(1, res.m).astype(jnp.float32)
+    else:
+        # Z-counting (the unbiased-ReSTIR correction): discount accepted
+        # imports whose source target distribution could not have produced the
+        # winner (winner direction below the source's horizon). Without this,
+        # reuse across curved geometry darkens by ~1% (support mismatch);
+        # measured exactly mean-preserving with it (tools/restir_bias.py).
+        z_sub = jnp.zeros_like(res.w_sum)
+        for n_src, vld in imports:
+            uncovered = vld & (vec.dot(n_src, wi_sel) <= 0.0)
+            z_sub = z_sub + uncovered.astype(jnp.float32)
+        z_count = jnp.maximum(1.0, res.m.astype(jnp.float32) - z_sub)
+    w_ucw = res.w_sum / z_count / jnp.maximum(EPS_MIN, res.w)
+    res = res.replace(W=jnp.where(ok, w_ucw, 0.0))
+    if reference_weighting:
+        # Reference final shading (RTRay.cs:521-539): f/pdfSel * wSum/(m*w),
+        # with pdfSel recomputed at selection time.
+        pdf_sel = jnp.where(
+            is_sun,
+            jnp.maximum(EPS_MIN, mix_delta),
+            jnp.maximum(EPS_MIN, cos_hemisphere_pdf(n, wi_sel) * mix_local),
+        )
+        f_sel = albedo * li_sel * ((nl_sel / pdf_sel) * INV_PI)[..., None]
+    else:
+        # Unbiased: contrib = f(y) * wSum / (Z * s_hat(y)); res.w == s_hat(y)
+        # so the pdf never enters. Identical to the reference formula whenever
+        # the winner is a fresh candidate (s_hat = score * pdfSel).
+        f_sel = albedo * li_sel * (nl_sel * INV_PI)[..., None]
+    contrib = f_sel * w_ucw[..., None]
     return state, res, dict(ok=ok, wi=wi_sel, contrib=contrib)

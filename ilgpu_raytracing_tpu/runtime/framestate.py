@@ -54,6 +54,7 @@ class FrameState:
             "res_prev_pdf": self.res_prev.pdf, "res_prev_w": self.res_prev.w,
             "res_prev_w_sum": self.res_prev.w_sum, "res_prev_m": self.res_prev.m,
             "res_prev_light_id": self.res_prev.light_id,
+            "res_prev_W": self.res_prev.W, "res_cur_W": self.res_cur.W,
             "res_cur_L": self.res_cur.L, "res_cur_wi": self.res_cur.wi,
             "res_cur_pdf": self.res_cur.pdf, "res_cur_w": self.res_cur.w,
             "res_cur_w_sum": self.res_cur.w_sum, "res_cur_m": self.res_cur.m,
@@ -72,6 +73,7 @@ class FrameState:
             pdf=jnp.asarray(z[p + "_pdf"]), w=jnp.asarray(z[p + "_w"]),
             w_sum=jnp.asarray(z[p + "_w_sum"]), m=jnp.asarray(z[p + "_m"]),
             light_id=jnp.asarray(z[p + "_light_id"]),
+            W=jnp.asarray(z[p + "_W"]),
         )
         return FrameState(
             res_prev=mk("res_prev"), res_cur=mk("res_cur"),

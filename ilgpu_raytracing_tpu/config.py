@@ -66,6 +66,12 @@ class RenderConfig:
     # candidates-only path.
     restir_reference_weighting: bool = False
 
+    # --- tracing ---
+    # Reorder bounce-trace batches by (alive, direction octant) around the
+    # packet kernel (ops/sort.py): measured 1.8x on scatter-ray traversal
+    # (v5e), a few ms of counting-sort + two packed row gathers per trace.
+    sort_bounce_rays: bool = True
+
     # --- RNG ---
     # 0 => locked (frame-invariant noise); nonzero => distinct stream selector /
     # animated noise (a fresh value per frame). Mirrors rngLockNoise semantics.
@@ -104,8 +110,10 @@ class RenderConfig:
     # Pixel batches larger than this are processed in equal chunks via
     # lax.map inside the integrator: bounds compile-unit size and peak
     # memory (and works around a TPU fusion-pass crash on >1M-pixel
-    # while-loop graphs). 0 disables chunking.
-    chunk_pixels: int = 524288
+    # while-loop graphs). Just under that crash threshold so a 1080p frame
+    # (901k internal pixels) runs unchunked -- fewer, larger fusions and one
+    # bounce-ray sort per trace instead of two. 0 disables chunking.
+    chunk_pixels: int = 1000000
 
     # --- progressive accumulation (rebuild-only capability; BASELINE config 4) ---
     progressive_accumulation: bool = False

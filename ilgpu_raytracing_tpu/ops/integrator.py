@@ -48,6 +48,7 @@ from ilgpu_raytracing_tpu.ops import layout
 from ilgpu_raytracing_tpu.ops import rays as rays_mod
 from ilgpu_raytracing_tpu.ops import restir as restir_mod
 from ilgpu_raytracing_tpu.ops import sky as sky_ops
+from ilgpu_raytracing_tpu.ops import sort as sort_mod
 from ilgpu_raytracing_tpu.ops import traverse
 from ilgpu_raytracing_tpu.ops.pallas import traverse_kernel as pallas_tk
 from ilgpu_raytracing_tpu.ops.pallas import wide_kernel as pallas_wk
@@ -88,36 +89,54 @@ def _trace_fns(pscene):
     return pallas_tk.trace_closest_pallas, pallas_tk.shadow_occlusion_pallas
 
 
-def _trace(scene, pscene, o, d, active=None):
+def _trace(scene, pscene, o, d, active=None, sort=False):
     """Closest-hit dispatch: pallas packet kernel (8-wide or binary) when a
-    prepared scene is supplied, XLA while-loop tracer otherwise. Ray batches
-    arrive in the frame's static block-linear order (ops/layout.py), which
-    supersedes the old per-trace morton/octant runtime sort (ops/sort.py):
-    the coherence is comparable and the ~110 ms argsort+gather cost per
-    trace is gone. Alpha-cutout scenes peel around the opaque kernel
-    (ops/alpha.py) instead of falling back to the XLA tracer."""
+    prepared scene is supplied, XLA while-loop tracer otherwise. Primary
+    batches arrive coherent in the frame's static block-linear order
+    (ops/layout.py); bounce batches pass sort=True to reorder by
+    (alive, direction octant) around the kernel (ops/sort.py), which cuts
+    the packet node/leaf-visit unions ~1.8x on scatter rays. Alpha-cutout
+    scenes peel around the opaque kernel (ops/alpha.py) instead of falling
+    back to the XLA tracer."""
     if pscene is None:
         return traverse.trace_closest(scene, o, d, active=active)
+
     closest, _ = _trace_fns(pscene)
+    kw = {}
     if scene.has_alpha:
-        return alpha_ops.trace_closest_peel(
-            lambda oo, dd, act: closest(pscene, oo, dd, active=act),
-            scene, o, d, active,
-        )
-    return closest(pscene, o, d, active=active)
+        def run(oo, dd, act):
+            return alpha_ops.trace_closest_peel(
+                lambda o3, d3, a: closest(pscene, o3, d3, active=a, **kw),
+                scene, oo, dd, act,
+            )
+    else:
+        def run(oo, dd, act):
+            return closest(pscene, oo, dd, active=act, **kw)
+    if sort and active is not None:
+        return sort_mod.sorted_closest(run, o, d, active)
+    return run(o, d, active)
 
 
-def _shadow(scene, pscene, o, d, t_max, active=None):
+def _shadow(scene, pscene, o, d, t_max, active=None, sort=False):
     if pscene is None:
         return traverse.shadow_occlusion(scene, o, d, t_max, active=active)
+    kw = {}
     if scene.has_alpha:
         closest, _ = _trace_fns(pscene)
-        return alpha_ops.shadow_occlusion_peel(
-            lambda oo, dd, act: closest(pscene, oo, dd, active=act),
-            scene, o, d, t_max, active,
-        )
-    _, shadow = _trace_fns(pscene)
-    return shadow(pscene, o, d, t_max, active=active)
+
+        def run(oo, dd, act):
+            return alpha_ops.shadow_occlusion_peel(
+                lambda o3, d3, a: closest(pscene, o3, d3, active=a, **kw),
+                scene, oo, dd, t_max, act,
+            )
+    else:
+        _, shadow = _trace_fns(pscene)
+
+        def run(oo, dd, act):
+            return shadow(pscene, oo, dd, t_max, active=act, **kw)
+    if sort and active is not None:
+        return sort_mod.sorted_shadow(run, o, d, active)
+    return run(o, d, active)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "chunk_pixels"))
@@ -271,6 +290,7 @@ def _path_trace_block(
         shadow_o = _offset_origin(pos, nrm, sel["wi"], cfg.eps_n)
         occluded = _shadow(
             scene, pscene, shadow_o, sel["wi"], 1e29, active=sel["ok"],
+            sort=cfg.sort_bounce_rays,
         )
         eff = eff + jnp.sum(sel["ok"].astype(jnp.float32))
         direct = jnp.where(
@@ -317,7 +337,10 @@ def _path_trace_block(
         trace_active = alive & (~rr_kill)
         eff = eff + jnp.sum(trace_active.astype(jnp.float32))
         ray_o = _offset_origin(pos, offn, new_dir, cfg.eps_n)
-        hit = _trace(scene, pscene, ray_o, new_dir, active=trace_active)
+        hit = _trace(
+            scene, pscene, ray_o, new_dir, active=trace_active,
+            sort=cfg.sort_bounce_rays,
+        )
         surf = traverse.shade_hits(scene, hit, ray_o, new_dir)
         missed = trace_active & (~hit.hit)
         li = li + jnp.where(

@@ -460,6 +460,7 @@ def _make_shadow_kernel(meta, tile_rows: int, front: int):
                 & active0
                 & (occ < 0.5)
             )
+            octant = _packet_octant(dx, dy, dz)
             sp0 = jax.lax.select(jnp.any(enter), jnp.int32(1), jnp.int32(0))
             stack_ref[0] = jnp.int32(wide_root)
 
@@ -501,10 +502,16 @@ def _make_shadow_kernel(meta, tile_rows: int, front: int):
                         wid = stack_ref[jax.lax.select(has, sp, STACK_CAP)]
                         wid = jax.lax.select(has, wid, jnp.int32(0))
                         popped.append((has, wid))
-                    for has, wid in popped:
+                    # near-first queue order (reverse rank pushes far first,
+                    # so near leaves drain first): occluders tend to sit
+                    # close to the origin, and an early latch lets the
+                    # whole-packet exit fire sooner
+                    for has, wid in reversed(popped):
                         base_b = wid * 48
                         base_c = wid * 8
-                        for c8 in range(WIDTH):
+                        perm = wp_ref[base_c + octant]
+                        for rank in range(WIDTH - 1, -1, -1):
+                            c8 = (perm >> (rank * 4)) & 7
                             child = wc_ref[base_c + c8]
                             mask = _child_slab(
                                 wb_ref, base_b + c8 * 6,

@@ -170,10 +170,8 @@ def _pack_reservoirs(res_prev: Reservoirs):
 
 
 def _pack_gbuffer(gb):
-    """(N,7) rows: pos(3) normal(3) obj_id-as-float-bits."""
-    import jax
-
-    obj_f = jax.lax.bitcast_convert_type(gb.obj_id, jnp.float32)
+    """(N,7) rows: pos(3) normal(3) obj_id (exact small float, like m)."""
+    obj_f = gb.obj_id.astype(jnp.float32)
     return jnp.concatenate([gb.pos, gb.normal, obj_f[:, None]], axis=1)
 
 
@@ -181,19 +179,27 @@ def _import_from_prev(res, state, res_packed, gb_packed, own_obj, own_z,
                       prev_idx, mask, cam_origin, n, albedo,
                       mix_local, mix_delta, sun_radiance, sky_top, sky_bottom,
                       reference_weighting: bool):
-    """Import + re-score a prev-frame reservoir (RTRay.cs:407-435).
-
-    Two row-gathers per import: the packed prev reservoir and the packed
-    neighbor G-buffer row (compatibility test, RTRay.cs:362-374, with the
-    own-pixel side precomputed by the caller)."""
-    import jax
-
+    """Import + re-score a prev-frame reservoir (RTRay.cs:407-435) fetched
+    by array position (temporal reprojection): two row-gathers, the packed
+    prev reservoir and the packed neighbor G-buffer row."""
     n_res = res_packed.shape[0]
     valid = mask & (prev_idx >= 0) & (prev_idx < n_res)
     safe = jnp.maximum(prev_idx, 0)
-
     gbr = jnp.take(gb_packed, safe, axis=0, mode="clip")
-    obj_b = jax.lax.bitcast_convert_type(gbr[:, 6], jnp.int32)
+    row = jnp.take(res_packed, safe, axis=0, mode="clip")
+    return _import_rows(
+        res, state, row, gbr, valid, own_obj, own_z, cam_origin, n, albedo,
+        mix_local, mix_delta, sun_radiance, sky_top, sky_bottom,
+        reference_weighting,
+    )
+
+
+def _import_rows(res, state, row, gbr, valid, own_obj, own_z, cam_origin, n,
+                 albedo, mix_local, mix_delta, sun_radiance, sky_top,
+                 sky_bottom, reference_weighting: bool):
+    """Re-score + merge pre-fetched packed rows (reservoir compatibility
+    test RTRay.cs:362-374 with the own-pixel side precomputed)."""
+    obj_b = gbr[:, 6].astype(jnp.int32)
     n_b = vec.normalize(gbr[:, 3:6])
     z_b = vec.length(gbr[:, 0:3] - cam_origin)
     ndot = vec.dot(n, n_b)
@@ -201,7 +207,6 @@ def _import_from_prev(res, state, res_packed, gb_packed, own_obj, own_z,
     compatible = (own_obj == obj_b) | ((ndot >= 0.85) & (rel < 0.05))
     valid = valid & compatible
 
-    row = jnp.take(res_packed, safe, axis=0, mode="clip")
     pr = Reservoirs(
         L=row[:, 0:3],
         wi=row[:, 3:6],
@@ -252,25 +257,76 @@ def _import_from_prev(res, state, res_packed, gb_packed, own_obj, own_z,
     return state, res, n_b, valid
 
 
-def _neighbor_offsets(rot, radius):
-    """8-neighborhood offsets with hashed rotation (RTRay.cs:376-391).
+# 8-neighborhood base patterns (RTRay.cs:376-391); per pixel the pattern is
+# rotated by a hashed rot in {0..3} and scaled by radius in {1,2}
+_NEIGHBOR_BASE = ((-1, 0), (1, 0), (0, -1), (0, 1),
+                  (-1, -1), (1, -1), (-1, 1), (1, 1))
 
-    rot, radius: (N,) int arrays. Returns list of 8 (dx, dy) pairs of (N,)."""
-    r = radius
 
-    def rx(x, y):
-        return jnp.where(
-            rot == 0, x, jnp.where(rot == 1, -y, jnp.where(rot == 2, -x, y))
+def _rotate_offset(cx: int, cy: int, ro: int):
+    if ro == 0:
+        return cx, cy
+    if ro == 1:
+        return -cy, cx
+    if ro == 2:
+        return -cx, -cy
+    return cy, -cx
+
+
+def _spatial_row_fetcher(res_packed, gb_packed, width: int, height: int,
+                         frame):
+    """Gather-free spatial neighbor row fetch.
+
+    The 8 spatial imports read rows at per-pixel offsets of at most +-2
+    pixels. Row gathers for that cost ~12 ms each at 1080p on v5e (~210
+    ms/frame over 9 imports x spp); but every (slot, rot, radius) variant is
+    a STATIC 2D shift, so this precomputes the packed rows as an image
+    (layout.to_image -- a pure transpose), pads once, and per slot selects
+    among the 8 shifted variants by each pixel's hashed rot/radius. No
+    gathers; the whole fetch fuses into bandwidth-bound selects.
+
+    Returns fetch(slot, start, count) -> (rows12, rows7) for the chunk of
+    array positions [start, start+count)."""
+    import jax
+
+    arr = jnp.concatenate([res_packed, gb_packed], axis=1)  # (N,19)
+    img = layout.to_image(arr, width, height)
+    pad = jnp.pad(img, ((2, 2), (2, 2), (0, 0)))
+    xs = jnp.arange(width, dtype=jnp.int32)[None, :]
+    ys = jnp.arange(height, dtype=jnp.int32)[:, None]
+    h = rng_mod.hash32(
+        rng_mod.u32(ys * width + xs)
+        ^ rng_mod.hash32(
+            rng_mod.u32(frame) ^ rng_mod.hash32(rng_mod.u32(0xB31F5AB1))
         )
+    )
+    rot = (h & rng_mod.u32(3)).astype(jnp.int32)
+    rad = 1 + ((h >> rng_mod.u32(2)) & rng_mod.u32(1)).astype(jnp.int32)
 
-    def ry(x, y):
-        return jnp.where(
-            rot == 0, y, jnp.where(rot == 1, x, jnp.where(rot == 2, -y, -x))
+    def fetch(slot: int, start, count: int):
+        cx, cy = _NEIGHBOR_BASE[slot]
+        sel = jnp.zeros((height, width, arr.shape[1]), jnp.float32)
+        for ro in range(4):
+            rcx, rcy = _rotate_offset(cx, cy, ro)
+            for ra in (1, 2):
+                dx, dy = rcx * ra, rcy * ra
+                shifted = jax.lax.slice(
+                    pad, (2 + dy, 2 + dx, 0),
+                    (2 + dy + height, 2 + dx + width, arr.shape[1]),
+                )
+                inb = (
+                    (xs + dx >= 0) & (xs + dx < width)
+                    & (ys + dy >= 0) & (ys + dy < height)
+                )
+                m = (rot == ro) & (rad == ra) & inb
+                sel = jnp.where(m[..., None], shifted, sel)
+        flat = layout.from_image(sel)
+        chunk = jax.lax.dynamic_slice(
+            flat, (start, jnp.int32(0)), (count, arr.shape[1])
         )
+        return chunk[:, :12], chunk[:, 12:]
 
-    z = jnp.zeros_like(r)
-    base = [(-r, z), (r, z), (z, -r), (z, r), (-r, -r), (r, -r), (-r, r), (r, r)]
-    return [(rx(x, y), ry(x, y)) for (x, y) in base]
+    return fetch
 
 
 def restir_direct(
@@ -362,30 +418,22 @@ def restir_direct(
         )
         imports.append((n_b, vld))
 
-        # (4) spatial reuse: 8 prev-frame neighbors, hashed rotation/radius.
-        # The hash keys on the canonical pixel id (y*w+x), not the array
-        # position, so the noise pattern is layout-invariant.
-        x0, y0 = layout.xy_from_position(pixel_idx, width, height)
-        h = rng_mod.hash32(
-            rng_mod.u32(y0 * width + x0)
-            ^ rng_mod.hash32(
-                rng_mod.u32(frame) ^ rng_mod.hash32(rng_mod.u32(0xB31F5AB1))
-            )
+        # (4) spatial reuse: 8 prev-frame neighbors, hashed rotation/radius
+        # (hash keyed on the canonical pixel id, so noise is
+        # layout-invariant). Neighbor rows arrive through the gather-free
+        # shifted-variant fetch; out-of-bounds or unselected rows carry
+        # m == 0 and fail the import validity gate, matching the old
+        # per-lane `inside` mask.
+        fetch = _spatial_row_fetcher(
+            res_packed, gb_packed, width, height, frame
         )
-        rot = (h & rng_mod.u32(3)).astype(jnp.int32)
-        radius = 1 + ((h >> rng_mod.u32(2)) & rng_mod.u32(1)).astype(jnp.int32)
-        for dx, dy in _neighbor_offsets(rot, radius):
-            nx = x0 + dx
-            ny = y0 + dy
-            inside = (nx >= 0) & (nx < width) & (ny >= 0) & (ny < height)
-            n_idx = jnp.where(
-                inside, layout.position_from_xy(nx, ny, width, height), -1
-            )
-            state, res, n_b, vld = _import_from_prev(
-                res, state, res_packed, gb_packed, own_obj, own_z, n_idx,
-                active & enable_spatial & inside, cam_origin, n, albedo,
-                mix_local, mix_delta, sun_radiance, sky_top, sky_bottom,
-                reference_weighting,
+        start = pixel_idx[0]
+        for slot in range(len(_NEIGHBOR_BASE)):
+            row12, gbr7 = fetch(slot, start, pos.shape[0])
+            state, res, n_b, vld = _import_rows(
+                res, state, row12, gbr7, active & enable_spatial, own_obj,
+                own_z, cam_origin, n, albedo, mix_local, mix_delta,
+                sun_radiance, sky_top, sky_bottom, reference_weighting,
             )
             imports.append((n_b, vld))
 

@@ -1,67 +1,106 @@
-"""Ray sorting for packet coherence.
+"""Bounce-ray reordering for packet coherence.
 
 Packet traversal throughput depends on how similar the rays inside a tile
-are: an incoherent tile's node-visit union approaches the whole tree. Bounce
-rays are reordered by (direction octant, origin morton) before tracing and
-the hits scattered back -- the "ray sorting/compaction" capability of
-BASELINE config 5. Pure XLA (one sort + two gathers per trace).
+are: an incoherent tile's node-visit union approaches the whole tree, at
+which point traversal degenerates to brute force (the "ray sorting /
+compaction" capability of BASELINE config 5). Primary rays are already
+coherent through the static block-linear layout (ops/layout.py); scatter
+and shadow rays are not -- their directions are sampled per lane.
+
+Measured on v5e (cornell 15.5k tris, 901k cosine-scatter rays): packets
+ordered by (alive, direction octant, screen block) trace 1.8x faster than
+block order alone, while ordering by (block, octant) -- octant only within
+each block -- is not a win. So this module reorders rays with a STABLE
+3-bit-octant + alive key: stability keeps the block-linear order as the
+implicit tertiary key, dead lanes compact to the tail where whole packets
+early-exit the walk.
+
+The permutation comes from a 16-bin counting sort (one-hot + cumsum --
+XLA-friendly, no argsort), and rays/hits move through ONE packed row
+gather each way (row gathers are ~7x cheaper than per-field gathers on
+TPU, same lesson as the ReSTIR packed reservoirs).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-_U = jnp.uint32
+_BINS = 16
 
 
-def _part1by2(x):
-    """Spread 9 bits to every 3rd bit (morton interleave helper)."""
-    x = x & _U(0x1FF)
-    x = (x | (x << _U(16))) & _U(0x030000FF)
-    x = (x | (x << _U(8))) & _U(0x0300F00F)
-    x = (x | (x << _U(4))) & _U(0x030C30C3)
-    x = (x | (x << _U(2))) & _U(0x09249249)
-    return x
+def _perm_from_key(key: jnp.ndarray):
+    """Stable counting-sort permutation for small int keys in [0, 16).
 
-
-def morton3(q):
-    """(N,3) uint32 coords (9 bits each) -> 27-bit morton code."""
-    return (
-        (_part1by2(q[:, 0]) << _U(2))
-        | (_part1by2(q[:, 1]) << _U(1))
-        | _part1by2(q[:, 2])
+    Returns (perm, pos): sorted[i] = orig[perm[i]] and pos[i] -- each
+    element's destination -- doubles as the inverse permutation
+    (orig[i] = sorted[pos[i]])."""
+    n = key.shape[0]
+    onehot = (key[:, None] == jnp.arange(_BINS, dtype=key.dtype)[None, :])
+    onehot = onehot.astype(jnp.int32)
+    within = jnp.cumsum(onehot, axis=0) - onehot  # exclusive, per bin
+    counts = jnp.sum(onehot, axis=0)
+    starts = jnp.cumsum(counts) - counts
+    pos = jnp.take_along_axis(
+        within + starts[None, :], key[:, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    perm = jnp.zeros((n,), jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32)
     )
+    return perm, pos
 
 
-def ray_sort_key(o, d, bounds_lo, bounds_hi):
-    """uint32 key: 3-bit direction octant (major) + 27-bit origin morton."""
+def octant_alive_key(d: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray:
+    """4-bit key: dead lanes (bit 3) sort after all octants (bits 0-2)."""
     octant = (
-        ((d[:, 0] > 0).astype(jnp.uint32) << _U(2))
-        | ((d[:, 1] > 0).astype(jnp.uint32) << _U(1))
-        | (d[:, 2] > 0).astype(jnp.uint32)
+        ((d[:, 0] > 0).astype(jnp.int32) << 2)
+        | ((d[:, 1] > 0).astype(jnp.int32) << 1)
+        | (d[:, 2] > 0).astype(jnp.int32)
     )
-    lo = jnp.asarray(bounds_lo, jnp.float32)
-    hi = jnp.asarray(bounds_hi, jnp.float32)
-    span = jnp.maximum(hi - lo, 1e-6)
-    q = jnp.clip((o - lo) / span * 512.0, 0.0, 511.0).astype(jnp.uint32)
-    return (octant << _U(27)) | morton3(q)
+    return jnp.where(active, octant, jnp.int32(8))
 
 
-def sorted_trace(trace_fn, o, d, active, bounds_lo, bounds_hi):
-    """Run trace_fn on coherence-sorted rays; returns results in original
-    order. trace_fn(o, d, active) -> pytree of (N,...) arrays."""
-    import jax
+def _bc(x):
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
 
-    key = ray_sort_key(o, d, bounds_lo, bounds_hi)
-    # inactive rays go last so they pad whole tiles
-    if active is not None:
-        key = jnp.where(active, key, _U(0xFFFFFFFF))
-    order = jnp.argsort(key)
-    inv = jnp.argsort(order)
-    o_s = jnp.take(o, order, axis=0)
-    d_s = jnp.take(d, order, axis=0)
-    a_s = None if active is None else jnp.take(active, order, axis=0)
-    out = trace_fn(o_s, d_s, a_s)
-    return jax.tree_util.tree_map(
-        lambda x: jnp.take(x, inv, axis=0), out
+
+def _bi(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def sorted_closest(trace_fn, o, d, active):
+    """trace_fn(o, d, active) -> HitRecord, on octant-sorted rays, results
+    restored to original order. One packed row gather each way."""
+    key = octant_alive_key(d, active)
+    perm, pos = _perm_from_key(key)
+    rows = jnp.concatenate(
+        [o, d, active.astype(jnp.float32)[:, None]], axis=1
     )
+    rs = jnp.take(rows, perm, axis=0)
+    hit = trace_fn(rs[:, 0:3], rs[:, 3:6], rs[:, 6] > 0.5)
+    out = jnp.concatenate(
+        [
+            hit.t[:, None], hit.bu[:, None], hit.bv[:, None],
+            _bc(hit.prim)[:, None], _bc(hit.inst)[:, None],
+            _bc(hit.kind)[:, None],
+        ],
+        axis=1,
+    )
+    ro = jnp.take(out, pos, axis=0)
+    return hit.replace(
+        t=ro[:, 0], bu=ro[:, 1], bv=ro[:, 2],
+        prim=_bi(ro[:, 3]), inst=_bi(ro[:, 4]), kind=_bi(ro[:, 5]),
+    )
+
+
+def sorted_shadow(shadow_fn, o, d, active):
+    """shadow_fn(o, d, active) -> (N,) bool, octant-sorted like
+    sorted_closest."""
+    key = octant_alive_key(d, active)
+    perm, pos = _perm_from_key(key)
+    rows = jnp.concatenate(
+        [o, d, active.astype(jnp.float32)[:, None]], axis=1
+    )
+    rs = jnp.take(rows, perm, axis=0)
+    occ = shadow_fn(rs[:, 0:3], rs[:, 3:6], rs[:, 6] > 0.5)
+    return jnp.take(occ, pos, axis=0)

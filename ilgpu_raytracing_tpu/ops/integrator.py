@@ -50,6 +50,7 @@ from ilgpu_raytracing_tpu.ops import restir as restir_mod
 from ilgpu_raytracing_tpu.ops import sky as sky_ops
 from ilgpu_raytracing_tpu.ops import sort as sort_mod
 from ilgpu_raytracing_tpu.ops import traverse
+from ilgpu_raytracing_tpu.ops.pallas import stream_kernel as pallas_sk
 from ilgpu_raytracing_tpu.ops.pallas import traverse_kernel as pallas_tk
 from ilgpu_raytracing_tpu.ops.pallas import wide_kernel as pallas_wk
 from ilgpu_raytracing_tpu.ops.sampling import sample_hemisphere_cosine
@@ -86,6 +87,8 @@ def _pick_n_chunks(n: int, target: int) -> int:
 def _trace_fns(pscene):
     if isinstance(pscene, pallas_wk.WideScene):
         return pallas_wk.trace_closest_wide, pallas_wk.shadow_occlusion_wide
+    if isinstance(pscene, pallas_sk.StreamScene):
+        return pallas_sk.trace_closest_stream, pallas_sk.shadow_occlusion_stream
     return pallas_tk.trace_closest_pallas, pallas_tk.shadow_occlusion_pallas
 
 

@@ -41,9 +41,9 @@ def _perm_from_key(key: jnp.ndarray):
     within = jnp.cumsum(onehot, axis=0) - onehot  # exclusive, per bin
     counts = jnp.sum(onehot, axis=0)
     starts = jnp.cumsum(counts) - counts
-    pos = jnp.take_along_axis(
-        within + starts[None, :], key[:, None].astype(jnp.int32), axis=1
-    )[:, 0]
+    # select-by-key via masked sum: a (n,16) multiply+reduce is ~10x cheaper
+    # than a take_along_axis gather on TPU (measured 9.2 -> ~1 ms at 901k)
+    pos = jnp.sum(onehot * (within + starts[None, :]), axis=1)
     perm = jnp.zeros((n,), jnp.int32).at[pos].set(
         jnp.arange(n, dtype=jnp.int32)
     )
@@ -103,4 +103,5 @@ def sorted_shadow(shadow_fn, o, d, active):
     )
     rs = jnp.take(rows, perm, axis=0)
     occ = shadow_fn(rs[:, 0:3], rs[:, 3:6], rs[:, 6] > 0.5)
-    return jnp.take(occ, pos, axis=0)
+    # gather as i32: a pred (1-bit packed) gather costs ~7 ms at 901k
+    return jnp.take(occ.astype(jnp.int32), pos, axis=0) != 0

@@ -155,11 +155,16 @@ class Renderer:
         if self.cfg.use_pallas_trace and jax.default_backend() != "cpu":
             # on CPU the packet kernel would run in the (slow) pallas
             # interpreter; the XLA tracer is clean and faster there
+            from ilgpu_raytracing_tpu.ops.pallas import stream_kernel as _sk
             from ilgpu_raytracing_tpu.ops.pallas import traverse_kernel as _tk
             from ilgpu_raytracing_tpu.ops.pallas import wide_kernel as _wk
 
             if _tk.supports_scene(scene):
                 self.pscene = _wk.prepare_wide(_tk.prepare(scene))
+                return
+            if _sk.supports_scene(scene):
+                # large scenes: HBM-streaming kernel (BASELINE config 5)
+                self.pscene = _sk.prepare_stream(scene)
                 return
         self.pscene = None
 

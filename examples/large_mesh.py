@@ -56,9 +56,12 @@ def main():
     kind = type(r.pscene).__name__ if r.pscene is not None else "XLA"
     print(f"tracer: {kind}")
 
-    r.render_frames(1)  # compile
+    import numpy as np
+
+    np.asarray(r.render())  # compile + sync
     t0 = time.time()
-    r.render_frames(args.frames)
+    for _ in range(args.frames):
+        np.asarray(r.render())  # forced device->host sync per frame
     dt = (time.time() - t0) / args.frames
     rays = r.in_w * r.in_h * (1 + cfg.spp * cfg.max_depth * 2)
     print(f"{dt*1e3:.0f} ms/frame  {rays/dt/1e6:.2f} Mrays/s (dispatched)")

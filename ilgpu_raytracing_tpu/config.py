@@ -71,6 +71,9 @@ class RenderConfig:
     # packet kernel (ops/sort.py): measured 1.8x on scatter-ray traversal
     # (v5e), a few ms of counting-sort + two packed row gathers per trace.
     sort_bounce_rays: bool = True
+    # Trace bounce-0 sun occlusion once per frame (coherent, sample-
+    # invariant) instead of inside every sample's shadow batch.
+    dedup_sun_shadow: bool = True
 
     # --- RNG ---
     # 0 => locked (frame-invariant noise); nonzero => distinct stream selector /

@@ -231,7 +231,8 @@ def _path_trace_block(
         # ior <= 0 falls back to 1.5 (RTRay.cs:251-252)
         return jnp.where(ior > 0.0, ior, 1.5)
 
-    def bounce_step(carry, depth, allow_reuse: bool):
+    def bounce_step(carry, depth, allow_reuse: bool, sun_occ0=None,
+                    sun_dir_n=None):
         (pos, nrm, alb, shade, ior, thr, li, alive, view, state, wrote,
          res_cur, eff) = carry
 
@@ -291,10 +292,26 @@ def _path_trace_block(
             reference_weighting=cfg.restir_reference_weighting,
         )
         shadow_o = _offset_origin(pos, nrm, sel["wi"], cfg.eps_n)
-        occluded = _shadow(
-            scene, pscene, shadow_o, sel["wi"], 1e29, active=sel["ok"],
-            sort=cfg.sort_bounce_rays,
-        )
+        if sun_occ0 is not None:
+            # bounce 0 only: the sun's occlusion from the G-buffer point is
+            # sample-invariant (same origin, same direction), so it was
+            # traced ONCE per frame as a coherent batch; only non-sun
+            # winners (sky candidates) still need a per-sample shadow ray.
+            # imported sun winners can carry a STALE direction when the sun
+            # moves between frames; only substitute when the stored wi is
+            # exactly this frame's sun
+            exact = jnp.all(sel["wi"] == sun_dir_n[None, :], axis=-1)
+            sun_sel = sel["is_sun"] & sel["ok"] & exact
+            traced = _shadow(
+                scene, pscene, shadow_o, sel["wi"], 1e29,
+                active=sel["ok"] & (~sun_sel), sort=cfg.sort_bounce_rays,
+            )
+            occluded = jnp.where(sun_sel, sun_occ0, traced)
+        else:
+            occluded = _shadow(
+                scene, pscene, shadow_o, sel["wi"], 1e29, active=sel["ok"],
+                sort=cfg.sort_bounce_rays,
+            )
         eff = eff + jnp.sum(sel["ok"].astype(jnp.float32))
         direct = jnp.where(
             (sel["ok"] & (~occluded))[..., None], sel["contrib"], 0.0
@@ -369,6 +386,19 @@ def _path_trace_block(
     # the block-linear array position, so per-pixel noise is layout-invariant
     canonical_idx = py * width + px
 
+    # bounce-0 sun occlusion is sample-invariant: one coherent trace per
+    # frame from the lambert G-buffer points, shared across all spp samples
+    # (the ReSTIR winner is the sun on ~half the lanes)
+    sun_dir_n = vec.normalize(jnp.asarray(sun_dir, jnp.float32))
+    if cfg.dedup_sun_shadow:
+        wi_sun0 = jnp.broadcast_to(sun_dir_n, gb.pos.shape)
+        lam0 = gb.hit & (gb.shading == SHADING_LAMBERT)
+        sun_o0 = _offset_origin(gb.pos, vec.normalize(gb.normal), wi_sun0,
+                                cfg.eps_n)
+        sun_occ0 = _shadow(scene, pscene, sun_o0, wi_sun0, 1e29, active=lam0)
+    else:
+        sun_occ0 = None
+
     def sample_step(carry, s):
         res_cur, l_accum, eff_accum = carry
         state = rng_mod.seed_from_index(
@@ -391,7 +421,10 @@ def _path_trace_block(
             eff_accum,
         )
         # peel bounce 0 (reuse-enabled), scan the rest (candidates-only)
-        out, _ = bounce_step(init, jnp.int32(0), allow_reuse=True)
+        out, _ = bounce_step(
+            init, jnp.int32(0), allow_reuse=True, sun_occ0=sun_occ0,
+            sun_dir_n=sun_dir_n,
+        )
         if cfg.max_depth > 1:
             out, _ = lax.scan(
                 lambda c, dd: bounce_step(c, dd, allow_reuse=False),

@@ -478,4 +478,4 @@ def restir_direct(
         # the winner is a fresh candidate (s_hat = score * pdfSel).
         f_sel = albedo * li_sel * (nl_sel * INV_PI)[..., None]
     contrib = f_sel * w_ucw[..., None]
-    return state, res, dict(ok=ok, wi=wi_sel, contrib=contrib)
+    return state, res, dict(ok=ok, wi=wi_sel, contrib=contrib, is_sun=is_sun)

@@ -333,6 +333,66 @@ class Surface:
     obj_id: jnp.ndarray  # (N,) i32 disocclusion key: tri id or -1 (quirk kept)
 
 
+def _shade_tables(scene: SceneData):
+    """Per-prim attribute rows so shading costs ONE gather per prim class
+    instead of ~15 (gathers are latency-bound on TPU: each (N,) gather at
+    901k lanes costs 1.5-6 ms regardless of width; packed (N,k) rows
+    amortize it). Material fields fold per prim at build; the tables are
+    tiny (n_prims x ~20 f32) and XLA hoists their construction out of the
+    per-frame graph as a constant-like subexpression.
+
+    tri row (20): e1 e2 kd dtex two_sided shading ior uv0 uv1 uv2
+    sph row (12): center radius base_albedo(kd-or-sphere-color) dtex
+                  shading ior
+    inst row (24): w2o(12) o2w(12)
+    """
+    mkd = scene.mat_kd
+    tmat = scene.tri_mat
+    t_kd = jnp.take(mkd, tmat, axis=0, mode="clip")
+    tri = jnp.concatenate(
+        [
+            scene.tri_e1,
+            scene.tri_e2,
+            t_kd,
+            jnp.take(scene.mat_diffuse_tex, tmat, mode="clip")
+            .astype(jnp.float32)[:, None],
+            jnp.take(scene.mat_two_sided, tmat, mode="clip")
+            .astype(jnp.float32)[:, None],
+            jnp.take(scene.mat_shading, tmat, mode="clip")
+            .astype(jnp.float32)[:, None],
+            jnp.take(scene.mat_ior, tmat, mode="clip")[:, None],
+            scene.tri_uv0,
+            scene.tri_uv1,
+            scene.tri_uv2,
+        ],
+        axis=1,
+    )
+    smat = scene.sph_mat
+    s_kd = jnp.take(mkd, smat, axis=0, mode="clip")
+    kd_zero = jnp.all(s_kd == 0.0, axis=-1)
+    s_base = jnp.where(kd_zero[..., None], scene.sph_albedo, s_kd)
+    sph = jnp.concatenate(
+        [
+            scene.sph_center,
+            scene.sph_radius[:, None],
+            s_base,
+            jnp.take(scene.mat_diffuse_tex, smat, mode="clip")
+            .astype(jnp.float32)[:, None],
+            scene.sph_shading.astype(jnp.float32)[:, None],
+            scene.sph_ior[:, None],
+        ],
+        axis=1,
+    )
+    inst = jnp.concatenate(
+        [
+            scene.inst_w2o.reshape(scene.inst_w2o.shape[0], -1),
+            scene.inst_o2w.reshape(scene.inst_o2w.shape[0], -1),
+        ],
+        axis=1,
+    )
+    return tri, sph, inst
+
+
 def shade_hits(scene: SceneData, hit: HitRecord, o: jnp.ndarray,
                d: jnp.ndarray) -> Surface:
     """Resolve hit records to surface attributes (one gather pass per batch).
@@ -350,50 +410,50 @@ def shade_hits(scene: SceneData, hit: HitRecord, o: jnp.ndarray,
     prim = jnp.maximum(hit.prim, 0)
     inst = jnp.maximum(hit.inst, 0)
 
+    tri_tab, sph_tab, inst_tab = _shade_tables(scene)
+    trow = jnp.take(tri_tab, prim, axis=0, mode="clip")
+    srow = jnp.take(sph_tab, prim, axis=0, mode="clip")
+    irow = jnp.take(inst_tab, inst, axis=0, mode="clip")
+
     pos_w = o + d * hit.t[..., None]
-    w2o = _take(scene.inst_w2o, inst)
-    o2w = _take(scene.inst_o2w, inst)
+    w2o = irow[:, 0:12].reshape(n, 3, 4)
+    o2w = irow[:, 12:24].reshape(n, 3, 4)
     d_obj = vec.transform_vector(w2o, d)
 
     # --- sphere attributes ---
-    c = _take(scene.sph_center, prim)
-    r = _take(scene.sph_radius, prim)
+    c = srow[:, 0:3]
     p_obj = vec.transform_point(w2o, pos_w)
     n_sph_obj = vec.normalize(p_obj - c)
-    sph_mat = _take(scene.sph_mat, prim)
-    sph_kd = _take(scene.mat_kd, sph_mat)
-    kd_zero = jnp.all(sph_kd == 0.0, axis=-1)
-    sph_base = jnp.where(kd_zero[..., None], _take(scene.sph_albedo, prim), sph_kd)
-    sph_dtex = _take(scene.mat_diffuse_tex, sph_mat)
+    sph_base = srow[:, 4:7]
+    sph_dtex = srow[:, 7].astype(jnp.int32)
     # spherical UV from the object-space normal (SceneDeviceViews.cs:149-156)
     su = 0.5 + jnp.arctan2(n_sph_obj[..., 2], n_sph_obj[..., 0]) / (2.0 * jnp.pi)
     sv = jnp.arccos(jnp.clip(n_sph_obj[..., 1], -1.0, 1.0)) / jnp.pi
     sph_texc = tex_ops.sample_texture_bilinear(scene, sph_dtex, su, sv)
     sph_albedo = jnp.where((sph_dtex >= 0)[..., None], sph_texc, sph_base)
-    sph_shading = _take(scene.sph_shading, prim)
-    sph_ior_raw = _take(scene.sph_ior, prim)
+    sph_shading = srow[:, 8].astype(jnp.int32)
+    sph_ior_raw = srow[:, 9]
     sph_ior = jnp.where(sph_ior_raw > 0.0, sph_ior_raw, 1.0)
 
     # --- triangle attributes ---
-    e1 = _take(scene.tri_e1, prim)
-    e2 = _take(scene.tri_e2, prim)
+    e1 = trow[:, 0:3]
+    e2 = trow[:, 3:6]
     n_tri_obj = vec.normalize(vec.cross(e1, e2))
-    tmat = _take(scene.tri_mat, prim)
-    two_sided = _take(scene.mat_two_sided, tmat) != 0
+    two_sided = trow[:, 10] != 0.0
     flip = two_sided & (vec.dot(n_tri_obj, d_obj) > 0.0)
     n_tri_obj = jnp.where(flip[..., None], -n_tri_obj, n_tri_obj)
     wgt = 1.0 - hit.bu - hit.bv
-    uv0 = _take(scene.tri_uv0, prim)
-    uv1 = _take(scene.tri_uv1, prim)
-    uv2 = _take(scene.tri_uv2, prim)
+    uv0 = trow[:, 13:15]
+    uv1 = trow[:, 15:17]
+    uv2 = trow[:, 17:19]
     uu = uv0[..., 0] * wgt + uv1[..., 0] * hit.bu + uv2[..., 0] * hit.bv
     vv = uv0[..., 1] * wgt + uv1[..., 1] * hit.bu + uv2[..., 1] * hit.bv
-    t_kd = _take(scene.mat_kd, tmat)
-    t_dtex = _take(scene.mat_diffuse_tex, tmat)
+    t_kd = trow[:, 6:9]
+    t_dtex = trow[:, 9].astype(jnp.int32)
     t_texc = tex_ops.sample_texture_bilinear(scene, t_dtex, uu, vv)
     tri_albedo = jnp.where((t_dtex >= 0)[..., None], t_texc, t_kd)
-    tri_shading = _take(scene.mat_shading, tmat)
-    tri_ior_raw = _take(scene.mat_ior, tmat)
+    tri_shading = trow[:, 11].astype(jnp.int32)
+    tri_ior_raw = trow[:, 12]
     tri_ior = jnp.where(tri_ior_raw > 0.0, tri_ior_raw, 1.0)
 
     n_obj = jnp.where(is_sph[..., None], n_sph_obj, n_tri_obj)

@@ -342,6 +342,10 @@ def _make_closest_kernel(meta, tile_rows: int, front: int):
         bv_best = jnp.zeros(shape, jnp.float32)
 
         for kind, wide_root, w2o, wbounds, inst_id in meta:
+            # inst id + kind as one constant; caller decodes with shifts
+            inst_enc = inst_id * 4 + (
+                KIND_TRI if kind == BLAS_TRI_MESH else KIND_SPHERE
+            )
             if _is_identity(w2o):
                 ox, oy, oz, dx, dy, dz = wox, woy, woz, wdx, wdy, wdz
             else:
@@ -378,7 +382,7 @@ def _make_closest_kernel(meta, tile_rows: int, front: int):
                             t_b, p_b, bu_b, bv_b,
                         )
                         took = t_n < t_b
-                        i_b = jnp.where(took, inst_id, i_b)
+                        i_b = jnp.where(took, inst_enc, i_b)
                         t_b, p_b, bu_b, bv_b = t_n, p_n, bu_n, bv_n
                     return t_b, p_b, i_b, bu_b, bv_b
 
@@ -396,7 +400,7 @@ def _make_closest_kernel(meta, tile_rows: int, front: int):
                     )
                     took = t_n < t_b
                     return (
-                        t_n, p_n, jnp.where(took, inst_id, i_b), bu_b, bv_b
+                        t_n, p_n, jnp.where(took, inst_enc, i_b), bu_b, bv_b
                     )
 
                 return lax.fori_loop(
@@ -646,20 +650,11 @@ def trace_closest_stream(
         _arrays(sscene), sscene.meta, o, d, t_max, interpret, tile_rows, front
     )
     miss = prim < 0
-    kind_by_inst = {
-        m[4]: (KIND_TRI if m[0] == BLAS_TRI_MESH else KIND_SPHERE)
-        for m in sscene.meta
-    }
-    max_inst = max(kind_by_inst) if kind_by_inst else 0
-    table = np.zeros((max_inst + 1,), np.int32)
-    for i, k in kind_by_inst.items():
-        table[i] = k
-    kind = jnp.where(
-        miss, 0, jnp.take(jnp.asarray(table), jnp.maximum(inst, 0), mode="clip")
-    )
+    kind = jnp.where(miss, 0, inst & 3)
     return HitRecord(
         t=jnp.where(miss, T_INF, t),
-        kind=kind, prim=prim, inst=inst, bu=bu, bv=bv,
+        kind=kind, prim=prim, inst=jnp.where(miss, -1, inst >> 2),
+        bu=bu, bv=bv,
     )
 
 

@@ -241,6 +241,13 @@ def _make_closest_kernel(meta, tile_rows: int, front: int):
         bv_best = jnp.zeros(shape, jnp.float32)
 
         for kind, wide_root, w2o, wbounds, inst_id in meta:
+            # instance id and BLAS kind ride together in the hit record:
+            # kernel-side the pair is one per-instance constant, so the
+            # caller decodes kind with shifts instead of a (N,) gather
+            # (measured 6.4 ms per trace at 901k lanes)
+            inst_enc = inst_id * 4 + (
+                KIND_TRI if kind == BLAS_TRI_MESH else KIND_SPHERE
+            )
             if _is_identity(w2o):
                 ox, oy, oz, dx, dy, dz = wox, woy, woz, wdx, wdy, wdz
             else:
@@ -276,7 +283,7 @@ def _make_closest_kernel(meta, tile_rows: int, front: int):
                         bu_n, bv_n = bu_b, bv_b
                     took = t_n < t_b
                     return (
-                        t_n, p_n, jnp.where(took, inst_id, i_b), bu_n, bv_n,
+                        t_n, p_n, jnp.where(took, inst_enc, i_b), bu_n, bv_n,
                     )
 
                 return lax.fori_loop(
@@ -673,22 +680,12 @@ def trace_closest_wide(
         _arrays(wscene), wscene.meta, o, d, t_max, interpret, tile_rows, front
     )
     miss = prim < 0
-    kind_by_inst = {
-        m[4]: (KIND_TRI if m[0] == BLAS_TRI_MESH else KIND_SPHERE)
-        for m in wscene.meta
-    }
-    max_inst = max(kind_by_inst) if kind_by_inst else 0
-    table = np.zeros((max_inst + 1,), np.int32)
-    for i, k in kind_by_inst.items():
-        table[i] = k
-    kind = jnp.where(
-        miss, 0, jnp.take(jnp.asarray(table), jnp.maximum(inst, 0), mode="clip")
-    )
+    kind = jnp.where(miss, 0, inst & 3)
     return HitRecord(
         t=jnp.where(miss, T_INF, t),
         kind=kind,
         prim=prim,
-        inst=inst,
+        inst=jnp.where(miss, -1, inst >> 2),
         bu=bu,
         bv=bv,
     )

@@ -86,20 +86,28 @@ class StreamScene:
     wide_bounds: jnp.ndarray  # (W*48,) f32 scalar-prefetch
     wide_child: jnp.ndarray  # (W*8,) i32
     wide_perm: jnp.ndarray  # (W*8,) i32 per-octant child order
-    tri_rows: jnp.ndarray  # (Lt, 128) f32, HBM (memory_space=ANY)
+    tri_rows: jnp.ndarray  # (Lt, 128) f32, HBM (memory_space=ANY) --
+    # or VMEM when `resident` (small scenes with coarse leaves)
     sph_rows: jnp.ndarray  # (Ls, 128) f32, VMEM
     meta: tuple = struct.field(pytree_node=False, default=())
+    resident: bool = struct.field(pytree_node=False, default=False)
+    # static max rows of any leaf (drain unrolls exactly this many)
+    rows_per_leaf: int = struct.field(pytree_node=False, default=ROWS_PER_LEAF)
 
 
 def supports_scene(scene: SceneData, max_tris: int = 4_000_000) -> bool:
     return scene.tri_v0.shape[0] <= max_tris
 
 
-def prepare_stream(scene: SceneData) -> StreamScene:
+def prepare_stream(scene: SceneData, resident: bool = False) -> StreamScene:
     """Repack a committed scene with coarse multi-row leaves.
 
     The scene should be built with ``blas_leaf_size`` up to
-    ``ROWS_PER_LEAF * 8`` (128); smaller leaves work but waste DMA."""
+    ``ROWS_PER_LEAF * 8`` (128); smaller leaves work but waste DMA.
+    ``resident=True`` keeps the triangle rows in VMEM and reads them
+    directly in the drain (no DMA): the multi-row-leaf variant of the wide
+    kernel, for scenes that fit VMEM but want coarser leaves (fewer wide
+    nodes -> cheaper node phase)."""
     ifields = np.asarray(scene.blas_ifields).copy()
     bounds = np.concatenate(
         [np.asarray(scene.blas_bmin), np.asarray(scene.blas_bmax)], axis=1
@@ -159,6 +167,7 @@ def prepare_stream(scene: SceneData) -> StreamScene:
         return ifields[b, 2] > 0
 
     leaf_rows: dict[int, tuple[int, int]] = {}  # binary node -> (row, nrows)
+    max_rows = 1
     for inst_id, kind in sorted(inst_types.items()):
         root = int(roots[inst_id])
         stack = [root]
@@ -170,6 +179,7 @@ def prepare_stream(scene: SceneData) -> StreamScene:
             if count > 0:
                 if kind == BLAS_TRI_MESH:
                     leaf_rows[cur] = pack_tri_leaf(int(first), int(count))
+                    max_rows = max(max_rows, leaf_rows[cur][1])
                 else:
                     leaf_rows[cur] = (pack_sph_leaf(int(first), int(count)), 1)
             else:
@@ -252,6 +262,8 @@ def prepare_stream(scene: SceneData) -> StreamScene:
         tri_rows=jnp.asarray(tri),
         sph_rows=jnp.asarray(rows_or_dummy(sph_rows)),
         meta=tuple(meta),
+        resident=resident,
+        rows_per_leaf=max_rows,
     )
 
 
@@ -301,7 +313,7 @@ def _walk_segment(wc_ref, wb_ref, wp_ref, stack_ref, queue_ref, octant,
     return lax.while_loop(walk_cond, walk_body, (sp, jnp.int32(0)))
 
 
-def _start_dma(tri_hbm, buf_ref, sem, queue_ref, q, n_q, slot):
+def _start_dma(tri_hbm, buf_ref, sem, queue_ref, q, n_q, slot, rows):
     """Kick the DMA for queue entry q into double-buffer `slot` (masked)."""
 
     @pl.when(q < n_q)
@@ -309,23 +321,25 @@ def _start_dma(tri_hbm, buf_ref, sem, queue_ref, q, n_q, slot):
         packed = queue_ref[q]
         first = packed // _ENC_BASE
         pltpu.make_async_copy(
-            tri_hbm.at[pl.ds(first, ROWS_PER_LEAF), :],
-            buf_ref.at[slot],
+            tri_hbm.at[pl.ds(first, rows), :],
+            buf_ref.at[slot, pl.ds(0, rows)],
             sem.at[slot],
         ).start()
 
 
-def _wait_dma(tri_hbm, buf_ref, sem, queue_ref, q, slot):
+def _wait_dma(tri_hbm, buf_ref, sem, queue_ref, q, slot, rows):
     packed = queue_ref[q]
     first = packed // _ENC_BASE
     pltpu.make_async_copy(
-        tri_hbm.at[pl.ds(first, ROWS_PER_LEAF), :],
-        buf_ref.at[slot],
+        tri_hbm.at[pl.ds(first, rows), :],
+        buf_ref.at[slot, pl.ds(0, rows)],
         sem.at[slot],
     ).wait()
 
 
-def _make_closest_kernel(meta, tile_rows: int, front: int):
+def _make_closest_kernel(meta, tile_rows: int, front: int,
+                         resident: bool = False,
+                         rows_per_leaf: int = ROWS_PER_LEAF):
     def kernel(wc_ref, wb_ref, wp_ref, tri_hbm, sph_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                t_ref, prim_ref, inst_ref, bu_ref, bv_ref,
@@ -362,18 +376,27 @@ def _make_closest_kernel(meta, tile_rows: int, front: int):
             stack_ref[0] = jnp.int32(wide_root)
 
             def drain_tri(n_q, t_b, p_b, i_b, bu_b, bv_b):
-                _start_dma(tri_hbm, buf_ref, sem, queue_ref,
-                           jnp.int32(0), n_q, jnp.int32(0))
+                if not resident:
+                    _start_dma(tri_hbm, buf_ref, sem, queue_ref,
+                               jnp.int32(0), n_q, jnp.int32(0),
+                               rows_per_leaf)
 
                 def leaf_body(q, carry):
                     t_b, p_b, i_b, bu_b, bv_b = carry
+                    first = queue_ref[q] // _ENC_BASE
                     slot = q % 2
-                    _wait_dma(tri_hbm, buf_ref, sem, queue_ref, q, slot)
-                    _start_dma(tri_hbm, buf_ref, sem, queue_ref,
-                               q + 1, n_q, (q + 1) % 2)
+                    if not resident:
+                        _wait_dma(tri_hbm, buf_ref, sem, queue_ref, q, slot,
+                                  rows_per_leaf)
+                        _start_dma(tri_hbm, buf_ref, sem, queue_ref,
+                                   q + 1, n_q, (q + 1) % 2,
+                                   rows_per_leaf)
                     n_rows = queue_ref[q] % _ENC_BASE
-                    for r in range(ROWS_PER_LEAF):
-                        leaf_row = buf_ref[slot, pl.ds(r, 1), :]
+                    for r in range(rows_per_leaf):
+                        if resident:
+                            leaf_row = tri_hbm[pl.ds(first + r, 1), :]
+                        else:
+                            leaf_row = buf_ref[slot, pl.ds(r, 1), :]
                         cnt = jax.lax.select(
                             r < n_rows, jnp.int32(LEAF_WIDTH), jnp.int32(0)
                         )
@@ -441,7 +464,9 @@ def _make_closest_kernel(meta, tile_rows: int, front: int):
     return kernel
 
 
-def _make_shadow_kernel(meta, tile_rows: int, front: int):
+def _make_shadow_kernel(meta, tile_rows: int, front: int,
+                        resident: bool = False,
+                        rows_per_leaf: int = ROWS_PER_LEAF):
     def kernel(wc_ref, wb_ref, wp_ref, tri_hbm, sph_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                occ_ref, stack_ref, queue_ref, buf_ref, sem):
@@ -471,17 +496,26 @@ def _make_shadow_kernel(meta, tile_rows: int, front: int):
             stack_ref[0] = jnp.int32(wide_root)
 
             def drain_tri(n_q, occ):
-                _start_dma(tri_hbm, buf_ref, sem, queue_ref,
-                           jnp.int32(0), n_q, jnp.int32(0))
+                if not resident:
+                    _start_dma(tri_hbm, buf_ref, sem, queue_ref,
+                               jnp.int32(0), n_q, jnp.int32(0),
+                               rows_per_leaf)
 
                 def leaf_body(q, occ):
+                    first = queue_ref[q] // _ENC_BASE
                     slot = q % 2
-                    _wait_dma(tri_hbm, buf_ref, sem, queue_ref, q, slot)
-                    _start_dma(tri_hbm, buf_ref, sem, queue_ref,
-                               q + 1, n_q, (q + 1) % 2)
+                    if not resident:
+                        _wait_dma(tri_hbm, buf_ref, sem, queue_ref, q, slot,
+                                  rows_per_leaf)
+                        _start_dma(tri_hbm, buf_ref, sem, queue_ref,
+                                   q + 1, n_q, (q + 1) % 2,
+                                   rows_per_leaf)
                     n_rows = queue_ref[q] % _ENC_BASE
-                    for r in range(ROWS_PER_LEAF):
-                        leaf_row = buf_ref[slot, pl.ds(r, 1), :]
+                    for r in range(rows_per_leaf):
+                        if resident:
+                            leaf_row = tri_hbm[pl.ds(first + r, 1), :]
+                        else:
+                            leaf_row = buf_ref[slot, pl.ds(r, 1), :]
                         cnt = jax.lax.select(
                             r < n_rows, jnp.int32(LEAF_WIDTH), jnp.int32(0)
                         )
@@ -536,27 +570,28 @@ def _pad_tiles(x, tile_rows, n):
     return jnp.pad(x, (0, n_pad - n)).reshape(g * tile_rows, _LANES), g
 
 
-def _common_specs(tile_rows):
+def _common_specs(tile_rows, resident: bool):
     ray_spec = pl.BlockSpec(
         (tile_rows, _LANES), lambda i, s1, s2, s3: (i, 0),
         memory_space=pltpu.VMEM,
     )
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tri_spec = vmem if resident else pl.BlockSpec(memory_space=pltpu.ANY)
     scratch = [
         pltpu.SMEM((STACK_CAP + 1,), jnp.int32),
         pltpu.SMEM((QUEUE_CAP + WIDTH * FRONT + 1,), jnp.int32),
         pltpu.VMEM((2, ROWS_PER_LEAF, _LANES), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     ]
-    return ray_spec, hbm, vmem, scratch
+    return ray_spec, tri_spec, vmem, scratch
 
 
 @functools.partial(
-    jax.jit, static_argnames=("meta", "interpret", "tile_rows", "front")
+    jax.jit, static_argnames=("meta", "interpret", "tile_rows", "front", "resident", "rows_per_leaf")
 )
 def _run_trace(arrays, meta, o, d, t_max, interpret=False,
-               tile_rows=TILE_ROWS, front=FRONT):
+               tile_rows=TILE_ROWS, front=FRONT, resident=False,
+               rows_per_leaf=ROWS_PER_LEAF):
     wide_child, wide_bounds, wide_perm, tri_rows, sph_rows = arrays
     n = o.shape[0]
     ox, g = _pad_tiles(o[:, 0], tile_rows, n)
@@ -567,8 +602,9 @@ def _run_trace(arrays, meta, o, d, t_max, interpret=False,
     dz, _ = _pad_tiles(d[:, 2], tile_rows, n)
     tm, _ = _pad_tiles(t_max, tile_rows, n)
 
-    ray_spec, hbm, vmem, scratch = _common_specs(tile_rows)
-    kernel = _make_closest_kernel(meta, tile_rows, front)
+    ray_spec, hbm, vmem, scratch = _common_specs(tile_rows, resident)
+    kernel = _make_closest_kernel(meta, tile_rows, front, resident,
+                                  rows_per_leaf)
     shp = (g * tile_rows, _LANES)
     out_shape = [
         jax.ShapeDtypeStruct(shp, jnp.float32),
@@ -595,10 +631,11 @@ def _run_trace(arrays, meta, o, d, t_max, interpret=False,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("meta", "interpret", "tile_rows", "front")
+    jax.jit, static_argnames=("meta", "interpret", "tile_rows", "front", "resident", "rows_per_leaf")
 )
 def _run_shadow(arrays, meta, o, d, t_max, interpret=False,
-                tile_rows=TILE_ROWS, front=FRONT):
+                tile_rows=TILE_ROWS, front=FRONT, resident=False,
+                rows_per_leaf=ROWS_PER_LEAF):
     wide_child, wide_bounds, wide_perm, tri_rows, sph_rows = arrays
     n = o.shape[0]
     ox, g = _pad_tiles(o[:, 0], tile_rows, n)
@@ -609,8 +646,9 @@ def _run_shadow(arrays, meta, o, d, t_max, interpret=False,
     dz, _ = _pad_tiles(d[:, 2], tile_rows, n)
     tm, _ = _pad_tiles(t_max, tile_rows, n)
 
-    ray_spec, hbm, vmem, scratch = _common_specs(tile_rows)
-    kernel = _make_shadow_kernel(meta, tile_rows, front)
+    ray_spec, hbm, vmem, scratch = _common_specs(tile_rows, resident)
+    kernel = _make_shadow_kernel(meta, tile_rows, front, resident,
+                                 rows_per_leaf)
     shp = (g * tile_rows, _LANES)
     occ = pl.pallas_call(
         kernel,
@@ -647,7 +685,8 @@ def trace_closest_stream(
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
     t, prim, inst, bu, bv = _run_trace(
-        _arrays(sscene), sscene.meta, o, d, t_max, interpret, tile_rows, front
+        _arrays(sscene), sscene.meta, o, d, t_max, interpret, tile_rows,
+        front, sscene.resident, sscene.rows_per_leaf,
     )
     miss = prim < 0
     kind = jnp.where(miss, 0, inst & 3)
@@ -670,5 +709,6 @@ def shadow_occlusion_stream(
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
     return _run_shadow(
-        _arrays(sscene), sscene.meta, o, d, t_max, interpret, tile_rows, front
+        _arrays(sscene), sscene.meta, o, d, t_max, interpret, tile_rows,
+        front, sscene.resident, sscene.rows_per_leaf,
     )

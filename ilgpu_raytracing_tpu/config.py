@@ -93,7 +93,10 @@ class RenderConfig:
     enable_taau: bool = True
     taa_feedback: float = 0.075
     taa_sharpness: float = 0.10
-    taa_clamp_k: float = 1.25
+    # NOTE: the reference's clampK knob (RTTaa.cs:79) is dead code there --
+    # computed but never applied to the blend (RTTaa.cs:189-190). It is
+    # deliberately NOT replicated here; the 3x3 min/max clamp in ops/taa.py
+    # is the live behavior on both sides.
 
     # --- BVH build ---
     blas_leaf_size: int = 4
@@ -109,6 +112,14 @@ class RenderConfig:
     # kernel does not. CPU execution of the XLA tracer is clean; it remains
     # the correctness oracle and the alpha-cutout / huge-scene path.
     use_pallas_trace: bool = True
+
+    # Escape hatch for the guard in Renderer._prepare_pscene: by default a
+    # TPU render whose scene no Pallas kernel supports (e.g. >4M triangles)
+    # raises instead of silently routing to the XLA while-loop tracer,
+    # which on TPU both ring-artifacts (ARCHITECTURE.md finding 8) and
+    # SIGILLs above ~1M lanes (finding 6). Set True to accept those risks
+    # (CPU backends are unaffected -- the XLA tracer is clean there).
+    allow_xla_tracer_on_tpu: bool = False
 
     # Pixel batches larger than this are processed in equal chunks via
     # lax.map inside the integrator: bounds compile-unit size and peak

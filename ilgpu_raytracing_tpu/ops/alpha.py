@@ -22,6 +22,13 @@ accepted hit within t_max, identical to ShadowOcclusion's early return.
 The peel advance steps the ray origin `dt = max(t*1e-4, 1e-5)` past the
 discarded surface; two alpha surfaces closer than dt along the ray would be
 merged (the reference has no such limit — divergence documented here).
+
+Peel exhaustion is DEFINED and observable: a ray that crosses more than
+MAX_PEELS alpha-rejected surfaces exits the loop still pending; such lanes
+report a MISS for closest hits (the accept latch never fired, so the
+initial t=T_INF / prim=-1 record survives) and UNOCCLUDED for shadow rays.
+Pass `with_exhausted=True` to also get the per-lane exhaustion mask
+(tests/test_pallas_integration.py exercises a crafted >MAX_PEELS stack).
 """
 
 from __future__ import annotations
@@ -44,11 +51,14 @@ def _advance(t_hit):
     return t_hit + jnp.maximum(t_hit * 1e-4, 1e-5)
 
 
-def trace_closest_peel(trace_fn, scene: SceneData, o, d, active=None):
+def trace_closest_peel(trace_fn, scene: SceneData, o, d, active=None,
+                       with_exhausted: bool = False):
     """Closest hit honoring alpha cutouts.
 
     trace_fn(o, d, active) -> HitRecord from the opaque-only tracer (t is
     world-parametric relative to the passed origin, T_INF on miss).
+    with_exhausted=True returns (HitRecord, exhausted (N,) bool); exhausted
+    lanes crossed >MAX_PEELS rejected surfaces and report a miss.
     """
     n = o.shape[0]
     if active is None:
@@ -91,17 +101,21 @@ def trace_closest_peel(trace_fn, scene: SceneData, o, d, active=None):
         t_base = jnp.where(reject, t_base + adv, t_base)
         return i + 1, reject, o_cur, t_base, out
 
-    _, _, _, _, out = lax.while_loop(
+    _, pending, _, _, out = lax.while_loop(
         cond, body, (jnp.int32(0), active, o, zero, out0)
     )
+    if with_exhausted:
+        return out, pending
     return out
 
 
-def shadow_occlusion_peel(trace_fn, scene: SceneData, o, d, t_max, active=None):
+def shadow_occlusion_peel(trace_fn, scene: SceneData, o, d, t_max, active=None,
+                          with_exhausted: bool = False):
     """Any-hit occlusion honoring the +-0.10 alpha band (returns bool (N,)).
 
     trace_fn as in trace_closest_peel. `t_max` is the world-space occlusion
-    range (scalar or (N,)).
+    range (scalar or (N,)). with_exhausted=True returns (occ, exhausted);
+    exhausted lanes report unoccluded.
     """
     n = o.shape[0]
     if active is None:
@@ -126,8 +140,10 @@ def shadow_occlusion_peel(trace_fn, scene: SceneData, o, d, t_max, active=None):
         t_rem = jnp.where(reject, t_rem - adv, t_rem)
         return i + 1, reject, o_cur, t_rem, occ
 
-    _, _, _, _, occ = lax.while_loop(
+    _, pending, _, _, occ = lax.while_loop(
         cond, body,
         (jnp.int32(0), active, o, t_rem, jnp.zeros((n,), bool)),
     )
+    if with_exhausted:
+        return occ, pending
     return occ

@@ -138,6 +138,13 @@ def _shadow(scene, pscene, o, d, t_max, active=None, sort=False):
         def run(oo, dd, act):
             return shadow(pscene, oo, dd, t_max, active=act, **kw)
     if sort and active is not None:
+        # the sorted wrapper permutes o/d/active but `run` closes over t_max
+        # unsorted; a per-lane t_max would pair sorted rays with other
+        # lanes' limits. All call sites pass a scalar today -- keep it so.
+        assert jnp.ndim(t_max) == 0, (
+            "sorted shadow path requires a scalar t_max (per-lane t_max "
+            "would need to ride the sort permutation; see ops/sort.py)"
+        )
         return sort_mod.sorted_shadow(run, o, d, active)
     return run(o, d, active)
 
@@ -307,12 +314,16 @@ def _path_trace_block(
                 active=sel["ok"] & (~sun_sel), sort=cfg.sort_bounce_rays,
             )
             occluded = jnp.where(sun_sel, sun_occ0, traced)
+            # dedup honesty: sun-substituted lanes were NOT traced in this
+            # dispatch (the coherent per-frame trace is counted once at
+            # scan init), so only non-sun shadow lanes count as effective
+            eff = eff + jnp.sum((sel["ok"] & (~sun_sel)).astype(jnp.float32))
         else:
             occluded = _shadow(
                 scene, pscene, shadow_o, sel["wi"], 1e29, active=sel["ok"],
                 sort=cfg.sort_bounce_rays,
             )
-        eff = eff + jnp.sum(sel["ok"].astype(jnp.float32))
+            eff = eff + jnp.sum(sel["ok"].astype(jnp.float32))
         direct = jnp.where(
             (sel["ok"] & (~occluded))[..., None], sel["contrib"], 0.0
         )
@@ -396,8 +407,12 @@ def _path_trace_block(
         sun_o0 = _offset_origin(gb.pos, vec.normalize(gb.normal), wi_sun0,
                                 cfg.eps_n)
         sun_occ0 = _shadow(scene, pscene, sun_o0, wi_sun0, 1e29, active=lam0)
+        # the once-per-frame coherent sun trace's live lanes count toward
+        # effective rays exactly once (scan init below)
+        eff0 = jnp.sum(lam0.astype(jnp.float32))
     else:
         sun_occ0 = None
+        eff0 = jnp.float32(0.0)
 
     def sample_step(carry, s):
         res_cur, l_accum, eff_accum = carry
@@ -441,7 +456,7 @@ def _path_trace_block(
 
     (res_cur, l_sum, eff), _ = lax.scan(
         sample_step,
-        (res_cur_init, jnp.zeros((n, 3), jnp.float32), jnp.float32(0.0)),
+        (res_cur_init, jnp.zeros((n, 3), jnp.float32), eff0),
         jnp.arange(max(1, cfg.spp), dtype=jnp.uint32),
     )
     color = l_sum * (1.0 / float(max(1, cfg.spp)))

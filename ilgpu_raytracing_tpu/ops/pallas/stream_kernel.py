@@ -55,6 +55,8 @@ from ilgpu_raytracing_tpu.ops.pallas.traverse_kernel import (
 )
 from ilgpu_raytracing_tpu.ops.pallas.wide_kernel import (
     _EMPTY,
+    _stack_bound,
+    MAX_FRONT,
     _child_slab,
     _instance_enter,
     _leaf_sph_anyhit,
@@ -93,6 +95,9 @@ class StreamScene:
     resident: bool = struct.field(pytree_node=False, default=False)
     # static max rows of any leaf (drain unrolls exactly this many)
     rows_per_leaf: int = struct.field(pytree_node=False, default=ROWS_PER_LEAF)
+    # per-scene worst-case stack occupancy (wide_kernel._stack_bound); SMEM
+    # stack scratch is sized from this, so overflow is impossible
+    stack_cap: int = struct.field(pytree_node=False, default=STACK_CAP)
 
 
 def supports_scene(scene: SceneData, max_tris: int = 4_000_000) -> bool:
@@ -244,6 +249,11 @@ def prepare_stream(scene: SceneData, resident: bool = False) -> StreamScene:
     assert smem_bytes < 900_000, (
         f"wide node tables need {smem_bytes} B SMEM; raise blas_leaf_size"
     )
+    cap = _stack_bound(wc_all, [m[1] for m in meta]) + WIDTH
+    assert cap <= 16384, (
+        f"wide BVH needs a {cap}-entry traversal stack (pathologically "
+        f"deep/unbalanced tree); rebuild with a different BVH method"
+    )
 
     # pad so a fixed ROWS_PER_LEAF-row DMA can never run off the end
     body = (np.stack(tri_row_list) if tri_row_list
@@ -264,11 +274,13 @@ def prepare_stream(scene: SceneData, resident: bool = False) -> StreamScene:
         meta=tuple(meta),
         resident=resident,
         rows_per_leaf=max_rows,
+        stack_cap=max(int(cap), 64),
     )
 
 
 def _walk_segment(wc_ref, wb_ref, wp_ref, stack_ref, queue_ref, octant,
-                  front, sp, t_b, ox, oy, oz, ix, iy, iz, open_mask):
+                  front, sp, t_b, ox, oy, oz, ix, iy, iz, open_mask,
+                  stack_cap=STACK_CAP):
     """One frontier round: pop up to `front` wide nodes, push/queue children
     near-first. Shared by closest and shadow kernels."""
 
@@ -281,7 +293,7 @@ def _walk_segment(wc_ref, wb_ref, wp_ref, stack_ref, queue_ref, octant,
         for _ in range(front):
             has = sp > 0
             sp = sp - jax.lax.select(has, 1, 0)
-            wid = stack_ref[jax.lax.select(has, sp, STACK_CAP)]
+            wid = stack_ref[jax.lax.select(has, sp, stack_cap)]
             wid = jax.lax.select(has, wid, jnp.int32(0))
             popped.append((has, wid))
         for has, wid in reversed(popped):
@@ -299,7 +311,7 @@ def _walk_segment(wc_ref, wb_ref, wp_ref, stack_ref, queue_ref, octant,
                 hit = jnp.any(mask) & (child != _EMPTY) & has
                 is_inner = child >= 0
                 do_push = hit & is_inner
-                slot = jax.lax.select(do_push, sp, jnp.int32(STACK_CAP))
+                slot = jax.lax.select(do_push, sp, jnp.int32(stack_cap))
                 stack_ref[slot] = child
                 sp = sp + jax.lax.select(do_push, 1, 0)
                 do_q = hit & (~is_inner)
@@ -339,7 +351,8 @@ def _wait_dma(tri_hbm, buf_ref, sem, queue_ref, q, slot, rows):
 
 def _make_closest_kernel(meta, tile_rows: int, front: int,
                          resident: bool = False,
-                         rows_per_leaf: int = ROWS_PER_LEAF):
+                         rows_per_leaf: int = ROWS_PER_LEAF,
+                         stack_cap: int = STACK_CAP):
     def kernel(wc_ref, wb_ref, wp_ref, tri_hbm, sph_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                t_ref, prim_ref, inst_ref, bu_ref, bv_ref,
@@ -438,6 +451,7 @@ def _make_closest_kernel(meta, tile_rows: int, front: int,
                 sp, n_q = _walk_segment(
                     wc_ref, wb_ref, wp_ref, stack_ref, queue_ref, octant,
                     front, sp, t_b, ox, oy, oz, ix, iy, iz, None,
+                    stack_cap,
                 )
                 if kind == BLAS_TRI_MESH:
                     t_b, p_b, i_b, bu_b, bv_b = drain_tri(
@@ -466,7 +480,8 @@ def _make_closest_kernel(meta, tile_rows: int, front: int,
 
 def _make_shadow_kernel(meta, tile_rows: int, front: int,
                         resident: bool = False,
-                        rows_per_leaf: int = ROWS_PER_LEAF):
+                        rows_per_leaf: int = ROWS_PER_LEAF,
+                        stack_cap: int = STACK_CAP):
     def kernel(wc_ref, wb_ref, wp_ref, tri_hbm, sph_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                occ_ref, stack_ref, queue_ref, buf_ref, sem):
@@ -547,6 +562,7 @@ def _make_shadow_kernel(meta, tile_rows: int, front: int,
                 sp, n_q = _walk_segment(
                     wc_ref, wb_ref, wp_ref, stack_ref, queue_ref, octant,
                     front, sp, T_INF, ox, oy, oz, ix, iy, iz, open_mask,
+                    stack_cap,
                 )
                 if kind == BLAS_TRI_MESH:
                     occ = drain_tri(n_q, occ)
@@ -570,28 +586,35 @@ def _pad_tiles(x, tile_rows, n):
     return jnp.pad(x, (0, n_pad - n)).reshape(g * tile_rows, _LANES), g
 
 
-def _common_specs(tile_rows, resident: bool):
+def _common_specs(tile_rows, resident: bool, front: int = FRONT,
+                  rows_per_leaf: int = ROWS_PER_LEAF,
+                  stack_cap: int = STACK_CAP):
+    """Scratch sized from the CALLER'S front/rows_per_leaf/stack_cap (the
+    kernels index with exactly these values; module constants would
+    under-allocate for larger overrides)."""
     ray_spec = pl.BlockSpec(
         (tile_rows, _LANES), lambda i, s1, s2, s3: (i, 0),
         memory_space=pltpu.VMEM,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    tri_spec = vmem if resident else pl.BlockSpec(memory_space=pltpu.ANY)
+    tri_spec = vmem if resident else pl.BlockSpec(memory_space=pl.ANY)
     scratch = [
-        pltpu.SMEM((STACK_CAP + 1,), jnp.int32),
-        pltpu.SMEM((QUEUE_CAP + WIDTH * FRONT + 1,), jnp.int32),
-        pltpu.VMEM((2, ROWS_PER_LEAF, _LANES), jnp.float32),
+        pltpu.SMEM((stack_cap + 1,), jnp.int32),
+        pltpu.SMEM((QUEUE_CAP + WIDTH * front + 1,), jnp.int32),
+        pltpu.VMEM((2, rows_per_leaf, _LANES), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     return ray_spec, tri_spec, vmem, scratch
 
 
 @functools.partial(
-    jax.jit, static_argnames=("meta", "interpret", "tile_rows", "front", "resident", "rows_per_leaf")
+    jax.jit,
+    static_argnames=("meta", "interpret", "tile_rows", "front", "resident",
+                     "rows_per_leaf", "stack_cap"),
 )
 def _run_trace(arrays, meta, o, d, t_max, interpret=False,
                tile_rows=TILE_ROWS, front=FRONT, resident=False,
-               rows_per_leaf=ROWS_PER_LEAF):
+               rows_per_leaf=ROWS_PER_LEAF, stack_cap=STACK_CAP):
     wide_child, wide_bounds, wide_perm, tri_rows, sph_rows = arrays
     n = o.shape[0]
     ox, g = _pad_tiles(o[:, 0], tile_rows, n)
@@ -602,9 +625,11 @@ def _run_trace(arrays, meta, o, d, t_max, interpret=False,
     dz, _ = _pad_tiles(d[:, 2], tile_rows, n)
     tm, _ = _pad_tiles(t_max, tile_rows, n)
 
-    ray_spec, hbm, vmem, scratch = _common_specs(tile_rows, resident)
+    ray_spec, hbm, vmem, scratch = _common_specs(
+        tile_rows, resident, front, rows_per_leaf, stack_cap
+    )
     kernel = _make_closest_kernel(meta, tile_rows, front, resident,
-                                  rows_per_leaf)
+                                  rows_per_leaf, stack_cap)
     shp = (g * tile_rows, _LANES)
     out_shape = [
         jax.ShapeDtypeStruct(shp, jnp.float32),
@@ -631,11 +656,13 @@ def _run_trace(arrays, meta, o, d, t_max, interpret=False,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("meta", "interpret", "tile_rows", "front", "resident", "rows_per_leaf")
+    jax.jit,
+    static_argnames=("meta", "interpret", "tile_rows", "front", "resident",
+                     "rows_per_leaf", "stack_cap"),
 )
 def _run_shadow(arrays, meta, o, d, t_max, interpret=False,
                 tile_rows=TILE_ROWS, front=FRONT, resident=False,
-                rows_per_leaf=ROWS_PER_LEAF):
+                rows_per_leaf=ROWS_PER_LEAF, stack_cap=STACK_CAP):
     wide_child, wide_bounds, wide_perm, tri_rows, sph_rows = arrays
     n = o.shape[0]
     ox, g = _pad_tiles(o[:, 0], tile_rows, n)
@@ -646,9 +673,11 @@ def _run_shadow(arrays, meta, o, d, t_max, interpret=False,
     dz, _ = _pad_tiles(d[:, 2], tile_rows, n)
     tm, _ = _pad_tiles(t_max, tile_rows, n)
 
-    ray_spec, hbm, vmem, scratch = _common_specs(tile_rows, resident)
+    ray_spec, hbm, vmem, scratch = _common_specs(
+        tile_rows, resident, front, rows_per_leaf, stack_cap
+    )
     kernel = _make_shadow_kernel(meta, tile_rows, front, resident,
-                                 rows_per_leaf)
+                                 rows_per_leaf, stack_cap)
     shp = (g * tile_rows, _LANES)
     occ = pl.pallas_call(
         kernel,
@@ -684,9 +713,10 @@ def trace_closest_stream(
         t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
+    assert front <= MAX_FRONT, f"front={front} exceeds MAX_FRONT={MAX_FRONT}"
     t, prim, inst, bu, bv = _run_trace(
         _arrays(sscene), sscene.meta, o, d, t_max, interpret, tile_rows,
-        front, sscene.resident, sscene.rows_per_leaf,
+        front, sscene.resident, sscene.rows_per_leaf, sscene.stack_cap,
     )
     miss = prim < 0
     kind = jnp.where(miss, 0, inst & 3)
@@ -708,7 +738,8 @@ def shadow_occlusion_stream(
     t_max = jnp.broadcast_to(jnp.asarray(t_max_world, jnp.float32), (n,))
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
+    assert front <= MAX_FRONT, f"front={front} exceeds MAX_FRONT={MAX_FRONT}"
     return _run_shadow(
         _arrays(sscene), sscene.meta, o, d, t_max, interpret, tile_rows,
-        front, sscene.resident, sscene.rows_per_leaf,
+        front, sscene.resident, sscene.rows_per_leaf, sscene.stack_cap,
     )

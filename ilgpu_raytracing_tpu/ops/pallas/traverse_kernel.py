@@ -71,6 +71,10 @@ class PallasScene:
     # static: per-instance (kind, root, w2o 12 floats, world bounds 6 floats,
     # inst_id)
     meta: tuple = struct.field(pytree_node=False, default=())
+    # max primitives in any packed leaf row: the kernels' per-leaf test loop
+    # runs exactly this many iterations (a leaf-4 build pays 4 tri tests per
+    # leaf visit, not LEAF_WIDTH=8 -- the row layout keeps 8 slots either way)
+    leaf_width: int = struct.field(pytree_node=False, default=LEAF_WIDTH)
 
 
 def supports_scene(scene: SceneData, max_tris: int = 150_000) -> bool:
@@ -112,8 +116,10 @@ def prepare(scene: SceneData) -> PallasScene:
 
     tri_rows: list[np.ndarray] = []
     sph_rows: list[np.ndarray] = []
+    max_count = [1]
 
     def pack_leaf(kind: int, first: int, count: int) -> int:
+        max_count[0] = max(max_count[0], min(count, LEAF_WIDTH))
         """Append one leaf row; returns its row index."""
         if kind == BLAS_TRI_MESH:
             row = np.zeros((_LANES,), np.float32)
@@ -175,6 +181,7 @@ def prepare(scene: SceneData) -> PallasScene:
         tri_rows=jnp.asarray(rows_or_dummy(tri_rows)),
         sph_rows=jnp.asarray(rows_or_dummy(sph_rows)),
         meta=tuple(meta),
+        leaf_width=int(max_count[0]),
     )
 
 
@@ -241,10 +248,10 @@ def _is_identity(w2o) -> bool:
 
 
 def _leaf_tri_test(leaf_row, count, ox, oy, oz, dx, dy, dz, t_best, prim_best,
-                   bu_best, bv_best):
-    """MT-test the <=8 packed triangles in leaf_row against all lanes."""
+                   bu_best, bv_best, leaf_width: int = LEAF_WIDTH):
+    """MT-test the <=leaf_width packed triangles in leaf_row vs all lanes."""
     rows = ox.shape[0]
-    for j in range(LEAF_WIDTH):
+    for j in range(leaf_width):
         base = j * TRI_STRIDE
         v0x, v0y, v0z = (_vcell(leaf_row, base + k, rows) for k in range(3))
         e1x, e1y, e1z = (_vcell(leaf_row, base + 3 + k, rows) for k in range(3))
@@ -279,9 +286,10 @@ def _leaf_tri_test(leaf_row, count, ox, oy, oz, dx, dy, dz, t_best, prim_best,
     return t_best, prim_best, bu_best, bv_best
 
 
-def _leaf_sph_test(leaf_row, count, ox, oy, oz, dx, dy, dz, t_best, prim_best):
+def _leaf_sph_test(leaf_row, count, ox, oy, oz, dx, dy, dz, t_best, prim_best,
+                   leaf_width: int = LEAF_WIDTH):
     rows = ox.shape[0]
-    for j in range(LEAF_WIDTH):
+    for j in range(leaf_width):
         base = j * SPH_STRIDE
         cx, cy, cz = (_vcell(leaf_row, base + k, rows) for k in range(3))
         r = _vcell(leaf_row, base + 3, rows)

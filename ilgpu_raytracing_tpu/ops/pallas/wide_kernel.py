@@ -58,10 +58,37 @@ TILE_ROWS = 32
 _LANES = 128
 WIDTH = 8
 FRONT = 4  # nodes popped per sync round
-STACK_CAP = 256
+MAX_FRONT = 8  # stack bounds are simulated at this front; callers must not exceed it
+STACK_CAP = 256  # fallback for scenes prepared before per-scene bounds
 QUEUE_CAP = 128
 
 _EMPTY = -1  # child encodings: >=0 inner wide id; -1 empty; <=-2 leaf
+
+
+def _stack_bound(wc_all: np.ndarray, roots, front: int = MAX_FRONT) -> int:
+    """Exact worst-case SMEM stack occupancy for the frontier walk.
+
+    Simulates the kernel's pop-`front`/push-children loop assuming EVERY
+    child slab test hits -- a superset of any real run's pushes at every
+    round, so its max stack depth dominates. Each instance pass starts from
+    its own root with an empty stack (the segment loop drains to zero
+    before the next instance), so the bound is the per-root max. Larger
+    `front` pops strictly more before re-pushing, so the MAX_FRONT bound
+    covers every smaller front. O(total wide nodes)."""
+    best = 1
+    for root in roots:
+        stack = [int(root)]
+        max_sp = 1
+        while stack:
+            popped = [stack.pop() for _ in range(min(front, len(stack)))]
+            for wid in reversed(popped):
+                for c in wc_all[wid]:
+                    if c >= 0:
+                        stack.append(int(c))
+            if len(stack) > max_sp:
+                max_sp = len(stack)
+        best = max(best, max_sp)
+    return best
 
 
 def _leaf_enc(first: int, count: int) -> int:
@@ -76,6 +103,11 @@ class WideScene:
     tri_rows: jnp.ndarray  # (Lt,128) f32 VMEM (shared with PallasScene)
     sph_rows: jnp.ndarray  # (Ls,128) f32
     meta: tuple = struct.field(pytree_node=False, default=())
+    # per-scene worst-case stack occupancy (see _stack_bound); the kernels
+    # size their SMEM stack scratch from this, so overflow is impossible
+    stack_cap: int = struct.field(pytree_node=False, default=STACK_CAP)
+    # max primitives in any leaf row (leaf test loop trip count)
+    leaf_width: int = struct.field(pytree_node=False, default=WIDTH)
 
 
 def _octant_perms(wb: np.ndarray, wc: np.ndarray) -> np.ndarray:
@@ -161,6 +193,11 @@ def prepare_wide(pscene: PallasScene) -> WideScene:
     perms = np.stack(
         [_octant_perms(wb_all[i], wc_all[i]) for i in range(len(wc_all))]
     )
+    cap = _stack_bound(wc_all, [m[1] for m in meta]) + WIDTH
+    assert cap <= 16384, (
+        f"wide BVH needs a {cap}-entry traversal stack (pathologically "
+        f"deep/unbalanced tree); rebuild with a different BVH method"
+    )
     return WideScene(
         wide_bounds=jnp.asarray(wb_all.reshape(-1)),
         wide_child=jnp.asarray(wc_all.reshape(-1)),
@@ -168,6 +205,8 @@ def prepare_wide(pscene: PallasScene) -> WideScene:
         tri_rows=pscene.tri_rows,
         sph_rows=pscene.sph_rows,
         meta=tuple(meta),
+        stack_cap=max(int(cap), 64),
+        leaf_width=pscene.leaf_width,
     )
 
 
@@ -224,7 +263,9 @@ def _packet_octant(dx, dy, dz):
     return o + jnp.where(dz[0, 0] > 0.0, jnp.int32(1), jnp.int32(0))
 
 
-def _make_closest_kernel(meta, tile_rows: int, front: int):
+def _make_closest_kernel(meta, tile_rows: int, front: int,
+                         stack_cap: int = STACK_CAP,
+                         leaf_width: int = WIDTH):
     def kernel(wc_ref, wb_ref, wp_ref, tri_ref, sph_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                t_ref, prim_ref, inst_ref, bu_ref, bv_ref,
@@ -273,12 +314,13 @@ def _make_closest_kernel(meta, tile_rows: int, front: int):
                         leaf_row = tri_ref[pl.ds(first, 1), :]
                         t_n, p_n, bu_n, bv_n = _leaf_tri_test(
                             leaf_row, count, ox, oy, oz, dx, dy, dz,
-                            t_b, p_b, bu_b, bv_b,
+                            t_b, p_b, bu_b, bv_b, leaf_width,
                         )
                     else:
                         leaf_row = sph_ref[pl.ds(first, 1), :]
                         t_n, p_n = _leaf_sph_test(
-                            leaf_row, count, ox, oy, oz, dx, dy, dz, t_b, p_b
+                            leaf_row, count, ox, oy, oz, dx, dy, dz, t_b, p_b,
+                            leaf_width,
                         )
                         bu_n, bv_n = bu_b, bv_b
                     took = t_n < t_b
@@ -306,7 +348,7 @@ def _make_closest_kernel(meta, tile_rows: int, front: int):
                     for _ in range(front):
                         has = sp > 0
                         sp = sp - jax.lax.select(has, 1, 0)
-                        wid = stack_ref[jax.lax.select(has, sp, STACK_CAP)]
+                        wid = stack_ref[jax.lax.select(has, sp, stack_cap)]
                         wid = jax.lax.select(has, wid, jnp.int32(0))
                         popped.append((has, wid))
                     # all child tests + anys issue back-to-back (pipelined).
@@ -330,7 +372,7 @@ def _make_closest_kernel(meta, tile_rows: int, front: int):
                             is_inner = child >= 0
                             do_push = hit & is_inner
                             slot = jax.lax.select(
-                                do_push, sp, jnp.int32(STACK_CAP)
+                                do_push, sp, jnp.int32(stack_cap)
                             )
                             stack_ref[slot] = child
                             sp = sp + jax.lax.select(do_push, 1, 0)
@@ -367,7 +409,7 @@ def _make_closest_kernel(meta, tile_rows: int, front: int):
 
 
 def _leaf_tri_anyhit(leaf_row, count, ox, oy, oz, dx, dy, dz, t_limit, occ,
-                     gate):
+                     gate, leaf_width: int = WIDTH):
     """Any-hit MT test: latch occlusion, no prim/bary bookkeeping.
 
     `gate` masks lanes allowed to latch (boolean and/or only -- Mosaic
@@ -378,7 +420,7 @@ def _leaf_tri_anyhit(leaf_row, count, ox, oy, oz, dx, dy, dz, t_limit, occ,
     )
 
     rows = ox.shape[0]
-    for j in range(WIDTH):
+    for j in range(leaf_width):
         base = j * TRI_STRIDE
         v0x, v0y, v0z = (_vcell(leaf_row, base + k, rows) for k in range(3))
         e1x, e1y, e1z = (_vcell(leaf_row, base + 3 + k, rows) for k in range(3))
@@ -407,14 +449,14 @@ def _leaf_tri_anyhit(leaf_row, count, ox, oy, oz, dx, dy, dz, t_limit, occ,
 
 
 def _leaf_sph_anyhit(leaf_row, count, ox, oy, oz, dx, dy, dz, t_limit, occ,
-                     gate):
+                     gate, leaf_width: int = WIDTH):
     from ilgpu_raytracing_tpu.ops.pallas.traverse_kernel import (
         SPH_STRIDE,
         _vcell,
     )
 
     rows = ox.shape[0]
-    for j in range(WIDTH):
+    for j in range(leaf_width):
         base = j * SPH_STRIDE
         cx, cy, cz = (_vcell(leaf_row, base + k, rows) for k in range(3))
         r = _vcell(leaf_row, base + 3, rows)
@@ -436,7 +478,9 @@ def _leaf_sph_anyhit(leaf_row, count, ox, oy, oz, dx, dy, dz, t_limit, occ,
     return occ
 
 
-def _make_shadow_kernel(meta, tile_rows: int, front: int):
+def _make_shadow_kernel(meta, tile_rows: int, front: int,
+                        stack_cap: int = STACK_CAP,
+                        leaf_width: int = WIDTH):
     """Any-hit occlusion kernel: first accepted hit latches a lane; the walk
     drops occluded lanes from every mask and exits once all lanes resolve."""
 
@@ -480,12 +524,12 @@ def _make_shadow_kernel(meta, tile_rows: int, front: int):
                         leaf_row = tri_ref[pl.ds(first, 1), :]
                         return _leaf_tri_anyhit(
                             leaf_row, count, ox, oy, oz, dx, dy, dz,
-                            t_limit, occ, active0,
+                            t_limit, occ, active0, leaf_width,
                         )
                     leaf_row = sph_ref[pl.ds(first, 1), :]
                     return _leaf_sph_anyhit(
                         leaf_row, count, ox, oy, oz, dx, dy, dz,
-                        t_limit, occ, active0,
+                        t_limit, occ, active0, leaf_width,
                     )
 
                 return lax.fori_loop(0, n_q, leaf_body, occ)
@@ -506,7 +550,7 @@ def _make_shadow_kernel(meta, tile_rows: int, front: int):
                     for _ in range(front):
                         has = sp > 0
                         sp = sp - jax.lax.select(has, 1, 0)
-                        wid = stack_ref[jax.lax.select(has, sp, STACK_CAP)]
+                        wid = stack_ref[jax.lax.select(has, sp, stack_cap)]
                         wid = jax.lax.select(has, wid, jnp.int32(0))
                         popped.append((has, wid))
                     # near-first queue order (reverse rank pushes far first,
@@ -528,7 +572,7 @@ def _make_shadow_kernel(meta, tile_rows: int, front: int):
                             is_inner = child >= 0
                             do_push = hit & is_inner
                             slot = jax.lax.select(
-                                do_push, sp, jnp.int32(STACK_CAP)
+                                do_push, sp, jnp.int32(stack_cap)
                             )
                             stack_ref[slot] = child
                             sp = sp + jax.lax.select(do_push, 1, 0)
@@ -564,10 +608,13 @@ def _pad_tiles(x, tile_rows, n):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("meta", "interpret", "tile_rows", "front")
+    jax.jit,
+    static_argnames=("meta", "interpret", "tile_rows", "front", "stack_cap",
+                     "leaf_width"),
 )
 def _run_trace(arrays, meta, o, d, t_max, interpret=False,
-               tile_rows=TILE_ROWS, front=FRONT):
+               tile_rows=TILE_ROWS, front=FRONT, stack_cap=STACK_CAP,
+               leaf_width=WIDTH):
     wide_child, wide_bounds, wide_perm, tri_rows, sph_rows = arrays
     n = o.shape[0]
     ox, g = _pad_tiles(o[:, 0], tile_rows, n)
@@ -583,7 +630,8 @@ def _run_trace(arrays, meta, o, d, t_max, interpret=False,
         memory_space=pltpu.VMEM,
     )
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    kernel = _make_closest_kernel(meta, tile_rows, front)
+    kernel = _make_closest_kernel(meta, tile_rows, front, stack_cap,
+                                  leaf_width)
     shp = (g * tile_rows, _LANES)
     out_shape = [
         jax.ShapeDtypeStruct(shp, jnp.float32),
@@ -601,7 +649,7 @@ def _run_trace(arrays, meta, o, d, t_max, interpret=False,
             in_specs=[full, full] + [ray_spec] * 7,
             out_specs=[ray_spec] * 5,
             scratch_shapes=[
-                pltpu.SMEM((STACK_CAP + 1,), jnp.int32),
+                pltpu.SMEM((stack_cap + 1,), jnp.int32),
                 pltpu.SMEM((QUEUE_CAP + WIDTH * front + 1,), jnp.int32),
             ],
         ),
@@ -614,10 +662,13 @@ def _run_trace(arrays, meta, o, d, t_max, interpret=False,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("meta", "interpret", "tile_rows", "front")
+    jax.jit,
+    static_argnames=("meta", "interpret", "tile_rows", "front", "stack_cap",
+                     "leaf_width"),
 )
 def _run_shadow(arrays, meta, o, d, t_max, interpret=False,
-                tile_rows=TILE_ROWS, front=FRONT):
+                tile_rows=TILE_ROWS, front=FRONT, stack_cap=STACK_CAP,
+                leaf_width=WIDTH):
     wide_child, wide_bounds, wide_perm, tri_rows, sph_rows = arrays
     n = o.shape[0]
     ox, g = _pad_tiles(o[:, 0], tile_rows, n)
@@ -633,7 +684,8 @@ def _run_shadow(arrays, meta, o, d, t_max, interpret=False,
         memory_space=pltpu.VMEM,
     )
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    kernel = _make_shadow_kernel(meta, tile_rows, front)
+    kernel = _make_shadow_kernel(meta, tile_rows, front, stack_cap,
+                                 leaf_width)
     shp = (g * tile_rows, _LANES)
     occ = pl.pallas_call(
         kernel,
@@ -644,7 +696,7 @@ def _run_shadow(arrays, meta, o, d, t_max, interpret=False,
             in_specs=[full, full] + [ray_spec] * 7,
             out_specs=ray_spec,
             scratch_shapes=[
-                pltpu.SMEM((STACK_CAP + 1,), jnp.int32),
+                pltpu.SMEM((stack_cap + 1,), jnp.int32),
                 pltpu.SMEM((QUEUE_CAP + WIDTH * front + 1,), jnp.int32),
             ],
         ),
@@ -676,8 +728,10 @@ def trace_closest_wide(
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
 
+    assert front <= MAX_FRONT, f"front={front} exceeds MAX_FRONT={MAX_FRONT}"
     t, prim, inst, bu, bv = _run_trace(
-        _arrays(wscene), wscene.meta, o, d, t_max, interpret, tile_rows, front
+        _arrays(wscene), wscene.meta, o, d, t_max, interpret, tile_rows,
+        front, wscene.stack_cap, wscene.leaf_width,
     )
     miss = prim < 0
     kind = jnp.where(miss, 0, inst & 3)
@@ -706,6 +760,8 @@ def shadow_occlusion_wide(
     )
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
+    assert front <= MAX_FRONT, f"front={front} exceeds MAX_FRONT={MAX_FRONT}"
     return _run_shadow(
-        _arrays(wscene), wscene.meta, o, d, t_max, interpret, tile_rows, front
+        _arrays(wscene), wscene.meta, o, d, t_max, interpret, tile_rows,
+        front, wscene.stack_cap, wscene.leaf_width,
     )

@@ -68,13 +68,23 @@ class FrameState:
     @staticmethod
     def load(path: str) -> "FrameState":
         z = np.load(path)
-        mk = lambda p: Reservoirs(
-            L=jnp.asarray(z[p + "_L"]), wi=jnp.asarray(z[p + "_wi"]),
-            pdf=jnp.asarray(z[p + "_pdf"]), w=jnp.asarray(z[p + "_w"]),
-            w_sum=jnp.asarray(z[p + "_w_sum"]), m=jnp.asarray(z[p + "_m"]),
-            light_id=jnp.asarray(z[p + "_light_id"]),
-            W=jnp.asarray(z[p + "_W"]),
-        )
+
+        def mk(p):
+            # snapshots written before the W slot existed load with W = 0,
+            # matching Reservoirs.empty semantics (W is re-derived on the
+            # next restir pass; old checkpoints stay loadable)
+            n = z[p + "_pdf"].shape[0]
+            w_cap = (
+                z[p + "_W"] if p + "_W" in z.files
+                else np.zeros((n,), np.float32)
+            )
+            return Reservoirs(
+                L=jnp.asarray(z[p + "_L"]), wi=jnp.asarray(z[p + "_wi"]),
+                pdf=jnp.asarray(z[p + "_pdf"]), w=jnp.asarray(z[p + "_w"]),
+                w_sum=jnp.asarray(z[p + "_w_sum"]), m=jnp.asarray(z[p + "_m"]),
+                light_id=jnp.asarray(z[p + "_light_id"]),
+                W=jnp.asarray(w_cap),
+            )
         return FrameState(
             res_prev=mk("res_prev"), res_cur=mk("res_cur"),
             taa_color=jnp.asarray(z["taa_color"]),

@@ -152,7 +152,8 @@ class Renderer:
     # ---- scene ----
 
     def _prepare_pscene(self, scene: SceneData) -> None:
-        if self.cfg.use_pallas_trace and jax.default_backend() != "cpu":
+        on_cpu = jax.default_backend() == "cpu"
+        if self.cfg.use_pallas_trace and not on_cpu:
             # on CPU the packet kernel would run in the (slow) pallas
             # interpreter; the XLA tracer is clean and faster there
             from ilgpu_raytracing_tpu.ops.pallas import stream_kernel as _sk
@@ -167,6 +168,28 @@ class Renderer:
                 self.pscene = _sk.prepare_stream(scene)
                 return
         self.pscene = None
+        if on_cpu or self.cfg.allow_xla_tracer_on_tpu:
+            return
+        # No Pallas kernel supports this scene and we are on accelerator:
+        # the XLA while-loop fallback on TPU is silently wrong (visibility
+        # ring artifacts) and crashes above ~1M lanes, so refuse loudly
+        # rather than render garbage (the reference's analog is a loud OOM).
+        n_tris = int(scene.tri_v0.shape[0])
+        if not self.cfg.use_pallas_trace:
+            raise RuntimeError(
+                "use_pallas_trace=False on a TPU backend would route the "
+                "frame to the XLA while-loop tracer, which produces "
+                "distance-banded ring artifacts on TPU (ARCHITECTURE.md "
+                "finding 8). Set allow_xla_tracer_on_tpu=True to override, "
+                "or render on CPU."
+            )
+        raise RuntimeError(
+            f"scene ({n_tris} tris) exceeds every Pallas kernel's limit "
+            f"(stream kernel caps at 4M triangles); the XLA fallback is "
+            f"silently wrong on TPU. Split the scene, reduce triangle "
+            f"count, or set allow_xla_tracer_on_tpu=True to accept the "
+            f"artifact/crash risk."
+        )
 
     def set_scene(self, scene: SceneData) -> None:
         """Swap (or refit-update) the committed scene.

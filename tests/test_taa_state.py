@@ -146,3 +146,22 @@ def test_renderer_progressive_accumulation():
     r.set_camera(r.camera.translate([0.1, 0, 0]))
     r.render()
     assert int(r.state.accum_count) == 1
+
+
+def test_framestate_load_pre_W_snapshot(tmp_path):
+    """Snapshots saved before the reservoir W slot existed must still load
+    (W falls back to zeros, matching Reservoirs.empty)."""
+    import numpy as np
+
+    from ilgpu_raytracing_tpu.runtime.framestate import FrameState
+
+    st = FrameState.create(16, 64)
+    p = str(tmp_path / "state.npz")
+    st.save(p)
+    z = dict(np.load(p))
+    del z["res_prev_W"], z["res_cur_W"]
+    old = str(tmp_path / "old_state.npz")
+    np.savez(old, **z)
+    loaded = FrameState.load(old)
+    assert loaded.res_prev.W.shape == (16,)
+    assert float(np.asarray(loaded.res_prev.W).sum()) == 0.0

@@ -75,3 +75,36 @@ def test_wide_collapse_covers_all_leaves():
         packed = -int(v) - 2
         wide_leaves.append((packed // 16, packed % 16))
     assert sorted(wide_leaves) == sorted(binary_leaves)
+
+
+def test_stack_bound_and_front_scratch_sizing():
+    """Per-scene stack bound is computed at prepare and the front>FRONT
+    public kwarg gets correctly sized scratch (round-2 advisor finding)."""
+    import numpy as np
+
+    from ilgpu_raytracing_tpu.models.cornell import build_cornell_scene
+    from ilgpu_raytracing_tpu.ops.pallas import traverse_kernel as tk
+    from ilgpu_raytracing_tpu.ops.pallas import wide_kernel as wk
+    from ilgpu_raytracing_tpu.ops import traverse
+
+    _, scene = build_cornell_scene(tess=4, sphere_tess=(8, 12), blas_leaf_size=8)
+    ws = wk.prepare_wide(tk.prepare(scene))
+    assert 64 <= ws.stack_cap <= 16384
+    # the all-hit simulation dominates any real walk: sanity that it covers
+    # at least one full 8-wide fanout
+    wc_all = np.asarray(ws.wide_child).reshape(-1, wk.WIDTH)
+    assert ws.stack_cap >= min(8, (wc_all >= 0).sum(axis=1).max()) + 1
+
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(3)
+    o = jnp.asarray(rs.uniform(-0.5, 0.5, (256, 3)).astype(np.float32))
+    d = jnp.asarray(rs.normal(size=(256, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ref = traverse.trace_closest(scene, o, d)
+    got = wk.trace_closest_wide(ws, o, d, front=wk.MAX_FRONT)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    hit = np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[hit], np.asarray(ref.t)[hit], rtol=1e-4, atol=1e-5
+    )

@@ -219,18 +219,46 @@ def _path_trace_block(
 ):
     """Path-trace one chunk of pixels. `gb`/`res_cur_init` are the chunk's
     own slices; `gb_full`/`res_prev` stay full-image because ReSTIR's
-    temporal/spatial reuse gathers from arbitrary neighbor pixels."""
-    n = pixel_idx.shape[0]
+    temporal/spatial reuse gathers from arbitrary neighbor pixels.
+
+    Round-3 restructure: ALL spp samples are vectorized into one
+    (spp*m,) lane batch (was: lax.scan over samples). Every bounce issues
+    exactly ONE batched closest trace and ONE batched shadow trace carrying
+    every sample's rays, so the packet kernels see spp-times larger batches
+    whose (alive, octant)-sorted packets pack alive lanes ACROSS samples
+    (deep bounces keep packets fuller), and per-launch glue (sort keys,
+    pad/reshape, selection shading) is paid once per bounce instead of once
+    per sample-bounce. Bounce-0 ReSTIR spatial rows are fetched once per
+    pixel and tiled across samples (restir_direct reps=spp). Bounces unroll
+    as a Python loop: with samples vectorized the batch exceeds 1M lanes at
+    1080p and while-loop graphs that large crash the TPU fusion pass
+    (ARCHITECTURE.md finding 6); unrolled glue has no such cliff.
+
+    Parity: lane (s*m + i) carries exactly the old sample-s RNG stream for
+    pixel i; the per-sample NaN/Inf scrub and the reservoir write order
+    (later samples overwrite earlier winners) are reproduced by slicing the
+    (spp, m) lanes and folding in sample order.
+    """
+    m = pixel_idx.shape[0]
+    spp = max(1, cfg.spp)
+    n = spp * m  # total trace lanes
     cam_origin = jnp.asarray(camera.origin, jnp.float32)
     sky_top = cfg.sky_tint_top
     sky_bottom = cfg.sky_tint_bottom
     sun_radiance = cfg.sun_radiance
 
+    def tile(x):
+        return jnp.tile(x, (spp,) + (1,) * (x.ndim - 1))
+
     px, py = layout.xy_from_position(pixel_idx, width, height)
     pu = (px.astype(jnp.float32) + 0.5) / float(max(1, width))
     pv = (py.astype(jnp.float32) + 0.5) / float(max(1, height))
     _, primary_d = rays_mod.generate_rays(camera, pu, pv)
-    miss_sky = sky_ops.sky_radiance(primary_d, sky_top, sky_bottom)
+    miss_sky = tile(sky_ops.sky_radiance(primary_d, sky_top, sky_bottom))
+
+    gb_px = gb
+    gb = jax.tree_util.tree_map(tile, gb)  # per-lane view of the chunk
+    pixel_idx = tile(pixel_idx)
 
     view_i = vec.normalize(gb.pos - cam_origin)  # ViewDirFromCam (RTRay.cs:156)
 
@@ -297,6 +325,7 @@ def _path_trace_block(
             cfg.local_candidates, cfg.delta_candidates,
             static_reuse=static_reuse,
             reference_weighting=cfg.restir_reference_weighting,
+            reps=spp,
         )
         shadow_o = _offset_origin(pos, nrm, sel["wi"], cfg.eps_n)
         if sun_occ0 is not None:
@@ -402,66 +431,70 @@ def _path_trace_block(
     # (the ReSTIR winner is the sun on ~half the lanes)
     sun_dir_n = vec.normalize(jnp.asarray(sun_dir, jnp.float32))
     if cfg.dedup_sun_shadow:
-        wi_sun0 = jnp.broadcast_to(sun_dir_n, gb.pos.shape)
-        lam0 = gb.hit & (gb.shading == SHADING_LAMBERT)
-        sun_o0 = _offset_origin(gb.pos, vec.normalize(gb.normal), wi_sun0,
-                                cfg.eps_n)
-        sun_occ0 = _shadow(scene, pscene, sun_o0, wi_sun0, 1e29, active=lam0)
+        wi_sun0 = jnp.broadcast_to(sun_dir_n, gb_px.pos.shape)
+        lam0 = gb_px.hit & (gb_px.shading == SHADING_LAMBERT)
+        sun_o0 = _offset_origin(gb_px.pos, vec.normalize(gb_px.normal),
+                                wi_sun0, cfg.eps_n)
+        sun_occ0 = tile(
+            _shadow(scene, pscene, sun_o0, wi_sun0, 1e29, active=lam0)
+        )
         # the once-per-frame coherent sun trace's live lanes count toward
-        # effective rays exactly once (scan init below)
+        # effective rays exactly once
         eff0 = jnp.sum(lam0.astype(jnp.float32))
     else:
         sun_occ0 = None
         eff0 = jnp.float32(0.0)
 
-    def sample_step(carry, s):
-        res_cur, l_accum, eff_accum = carry
-        state = rng_mod.seed_from_index(
-            canonical_idx, width, frame, s, cfg.rng_salt, noise_key
-        )
-        li0 = jnp.where(gb.hit[..., None], 0.0, miss_sky)
-        init = (
-            gb.pos,
-            vec.normalize(gb.normal),
-            gb.albedo,
-            gb.shading,
-            gb.ior,
-            jnp.ones((n, 3), jnp.float32),
-            li0,
-            gb.hit,
-            view_i,
-            state,
-            jnp.zeros((n,), dtype=bool),
-            res_cur,
-            eff_accum,
-        )
-        # peel bounce 0 (reuse-enabled), scan the rest (candidates-only)
-        out, _ = bounce_step(
-            init, jnp.int32(0), allow_reuse=True, sun_occ0=sun_occ0,
-            sun_dir_n=sun_dir_n,
-        )
-        if cfg.max_depth > 1:
-            out, _ = lax.scan(
-                lambda c, dd: bounce_step(c, dd, allow_reuse=False),
-                out,
-                jnp.arange(1, cfg.max_depth, dtype=jnp.int32),
-            )
-        li = out[6]
-        res_cur = out[11]
-        eff_accum = out[12]
-        return (
-            res_cur, l_accum + vec.safe_color(li, cfg.safe_color_max),
-            eff_accum,
-        ), None
-
-    (res_cur, l_sum, eff), _ = lax.scan(
-        sample_step,
-        (res_cur_init, jnp.zeros((n, 3), jnp.float32), eff0),
-        jnp.arange(max(1, cfg.spp), dtype=jnp.uint32),
+    # per-lane RNG: lane s*m+i carries pixel i's sample-s stream
+    sample_ids = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), m)
+    state = rng_mod.seed_from_index(
+        tile(canonical_idx), width, frame, sample_ids, cfg.rng_salt, noise_key
     )
-    color = l_sum * (1.0 / float(max(1, cfg.spp)))
-    depth = vec.length(gb.pos - cam_origin)
-    return color, depth, gb.obj_id, res_cur, eff
+    li0 = jnp.where(gb.hit[..., None], 0.0, miss_sky)
+    carry = (
+        gb.pos,
+        vec.normalize(gb.normal),
+        gb.albedo,
+        gb.shading,
+        gb.ior,
+        jnp.ones((n, 3), jnp.float32),
+        li0,
+        gb.hit,
+        view_i,
+        state,
+        jnp.zeros((n,), dtype=bool),
+        jax.tree_util.tree_map(tile, res_cur_init),
+        eff0,
+    )
+    # bounce 0 reuse-enabled, deeper bounces candidates-only; unrolled
+    for depth in range(max(1, cfg.max_depth)):
+        carry, _ = bounce_step(
+            carry, jnp.int32(depth), allow_reuse=(depth == 0),
+            sun_occ0=sun_occ0 if depth == 0 else None,
+            sun_dir_n=sun_dir_n if depth == 0 else None,
+        )
+    li = carry[6]
+    wrote = carry[10]
+    res_vec = carry[11]
+    eff = carry[12]
+
+    # fold the (spp, m) lanes back per pixel in sample order: radiance sums
+    # with the per-sample scrub; reservoirs keep the LAST sample that wrote
+    # (identical to the old sequential ping-pong merge)
+    li_s = li.reshape(spp, m, 3)
+    l_sum = jnp.zeros((m, 3), jnp.float32)
+    for s in range(spp):
+        l_sum = l_sum + vec.safe_color(li_s[s], cfg.safe_color_max)
+    color = l_sum * (1.0 / float(spp))
+    wrote_s = wrote.reshape(spp, m)
+    res_cur = res_cur_init
+    for s in range(spp):
+        res_s = jax.tree_util.tree_map(
+            lambda x: x.reshape(spp, m, *x.shape[1:])[s], res_vec
+        )
+        res_cur = _merge_reservoirs(res_cur, res_s, wrote_s[s])
+    depth = vec.length(gb_px.pos - cam_origin)
+    return color, depth, gb_px.obj_id, res_cur, eff
 
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height"))
@@ -499,7 +532,15 @@ def path_trace(
     """
     n = width * height
     pixel_idx = jnp.arange(n, dtype=jnp.int32)
-    c = _pick_n_chunks(n, cfg.chunk_pixels)
+    target = cfg.chunk_pixels
+    if target and (pscene is None or scene.has_alpha):
+        # the XLA-tracer fallback and the alpha peel wrap traces in
+        # lax.while_loop over spp*m lanes; while-loop graphs past ~1M lanes
+        # crash the TPU fusion pass (ARCHITECTURE.md finding 6), so chunk
+        # by trace LANES on those paths. The pure Pallas path has no outer
+        # while loops and runs all spp*n lanes unchunked.
+        target = max(1, target // max(1, cfg.spp))
+    c = _pick_n_chunks(n, target)
     if c == 1:
         return _path_trace_block(
             scene, gb, gb, pixel_idx, camera, prev_camera, res_prev,

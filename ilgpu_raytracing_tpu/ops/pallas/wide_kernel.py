@@ -108,6 +108,12 @@ class WideScene:
     stack_cap: int = struct.field(pytree_node=False, default=STACK_CAP)
     # max primitives in any leaf row (leaf test loop trip count)
     leaf_width: int = struct.field(pytree_node=False, default=WIDTH)
+    # optional jax.sharding.Mesh: when set, kernel dispatch runs under
+    # shard_map over axis "px" -- each device walks its own ray shard with
+    # the scene tables replicated (GSPMD does NOT partition pallas_call on
+    # its own; this is the manual-partitioning path that puts the
+    # production tracer on a multi-chip slice). Set via with_mesh().
+    mesh: object = struct.field(pytree_node=False, default=None)
 
 
 def _octant_perms(wb: np.ndarray, wc: np.ndarray) -> np.ndarray:
@@ -265,11 +271,23 @@ def _packet_octant(dx, dy, dz):
 
 def _make_closest_kernel(meta, tile_rows: int, front: int,
                          stack_cap: int = STACK_CAP,
-                         leaf_width: int = WIDTH):
+                         leaf_width: int = WIDTH,
+                         with_stats: bool = False):
     def kernel(wc_ref, wb_ref, wp_ref, tri_ref, sph_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                t_ref, prim_ref, inst_ref, bu_ref, bv_ref,
-               stack_ref, queue_ref):
+               *rest):
+        if with_stats:
+            stats_ref, stack_ref, queue_ref = rest
+        else:
+            stack_ref, queue_ref = rest
+        # traversal counters (per packet): wide nodes popped, leaf rows
+        # drained, vector->scalar sync rounds. Carried unconditionally
+        # (scalar adds are free next to the slab tests); written only in
+        # stats mode.
+        nn_tot = jnp.int32(0)
+        lv_tot = jnp.int32(0)
+        rd_tot = jnp.int32(0)
         shape = ox_ref.shape
         wox, woy, woz = ox_ref[...], oy_ref[...], oz_ref[...]
         wdx, wdy, wdz = dx_ref[...], dy_ref[...], dz_ref[...]
@@ -336,17 +354,19 @@ def _make_closest_kernel(meta, tile_rows: int, front: int,
                 return c[0] > 0
 
             def seg_body(c):
-                sp, t_b, p_b, i_b, bu_b, bv_b = c
+                sp, t_b, p_b, i_b, bu_b, bv_b, nn, lv, rd = c
 
                 def walk_cond(w):
                     return (w[0] > 0) & (w[1] < QUEUE_CAP)
 
                 def walk_body(w):
-                    sp, n_q, t_b = w
+                    sp, n_q, t_b, nn, rd = w
+                    rd = rd + 1
                     # pop up to `front` nodes before touching any reduction
                     popped = []
                     for _ in range(front):
                         has = sp > 0
+                        nn = nn + jax.lax.select(has, 1, 0)
                         sp = sp - jax.lax.select(has, 1, 0)
                         wid = stack_ref[jax.lax.select(has, sp, stack_cap)]
                         wid = jax.lax.select(has, wid, jnp.int32(0))
@@ -383,27 +403,35 @@ def _make_closest_kernel(meta, tile_rows: int, front: int,
                             )
                             queue_ref[qslot] = -child - 2  # decode leaf enc
                             n_q = n_q + jax.lax.select(do_q, 1, 0)
-                    return sp, n_q, t_b
+                    return sp, n_q, t_b, nn, rd
 
-                sp, n_q, t_b = lax.while_loop(
-                    walk_cond, walk_body, (sp, jnp.int32(0), t_b)
+                sp, n_q, t_b, nn, rd = lax.while_loop(
+                    walk_cond, walk_body, (sp, jnp.int32(0), t_b, nn, rd)
                 )
+                lv = lv + n_q
                 t_b, p_b, i_b, bu_b, bv_b = drain(
                     n_q, t_b, p_b, i_b, bu_b, bv_b
                 )
-                return sp, t_b, p_b, i_b, bu_b, bv_b
+                return sp, t_b, p_b, i_b, bu_b, bv_b, nn, lv, rd
 
             out = lax.while_loop(
                 seg_cond, seg_body,
-                (sp0, t_best, prim_best, inst_best, bu_best, bv_best),
+                (sp0, t_best, prim_best, inst_best, bu_best, bv_best,
+                 nn_tot, lv_tot, rd_tot),
             )
-            _, t_best, prim_best, inst_best, bu_best, bv_best = out
+            (_, t_best, prim_best, inst_best, bu_best, bv_best,
+             nn_tot, lv_tot, rd_tot) = out
 
         t_ref[...] = t_best
         prim_ref[...] = prim_best
         inst_ref[...] = inst_best
         bu_ref[...] = bu_best
         bv_ref[...] = bv_best
+        if with_stats:
+            stats_ref[0, 0] = nn_tot
+            stats_ref[0, 1] = lv_tot
+            stats_ref[0, 2] = rd_tot
+            stats_ref[0, 3] = jnp.int32(0)
 
     return kernel
 
@@ -610,11 +638,11 @@ def _pad_tiles(x, tile_rows, n):
 @functools.partial(
     jax.jit,
     static_argnames=("meta", "interpret", "tile_rows", "front", "stack_cap",
-                     "leaf_width"),
+                     "leaf_width", "with_stats"),
 )
 def _run_trace(arrays, meta, o, d, t_max, interpret=False,
                tile_rows=TILE_ROWS, front=FRONT, stack_cap=STACK_CAP,
-               leaf_width=WIDTH):
+               leaf_width=WIDTH, with_stats=False):
     wide_child, wide_bounds, wide_perm, tri_rows, sph_rows = arrays
     n = o.shape[0]
     ox, g = _pad_tiles(o[:, 0], tile_rows, n)
@@ -631,7 +659,7 @@ def _run_trace(arrays, meta, o, d, t_max, interpret=False,
     )
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     kernel = _make_closest_kernel(meta, tile_rows, front, stack_cap,
-                                  leaf_width)
+                                  leaf_width, with_stats)
     shp = (g * tile_rows, _LANES)
     out_shape = [
         jax.ShapeDtypeStruct(shp, jnp.float32),
@@ -640,14 +668,20 @@ def _run_trace(arrays, meta, o, d, t_max, interpret=False,
         jax.ShapeDtypeStruct(shp, jnp.float32),
         jax.ShapeDtypeStruct(shp, jnp.float32),
     ]
-    t, prim, inst, bu, bv = pl.pallas_call(
+    out_specs = [ray_spec] * 5
+    if with_stats:
+        out_shape.append(jax.ShapeDtypeStruct((g, 4), jnp.int32))
+        out_specs.append(pl.BlockSpec(
+            (1, 4), lambda i, s1, s2, s3: (i, 0), memory_space=pltpu.SMEM
+        ))
+    res = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(g,),
             in_specs=[full, full] + [ray_spec] * 7,
-            out_specs=[ray_spec] * 5,
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.SMEM((stack_cap + 1,), jnp.int32),
                 pltpu.SMEM((QUEUE_CAP + WIDTH * front + 1,), jnp.int32),
@@ -656,9 +690,13 @@ def _run_trace(arrays, meta, o, d, t_max, interpret=False,
         interpret=interpret,
     )(wide_child, wide_bounds, wide_perm, tri_rows, sph_rows,
       ox, oy, oz, dx, dy, dz, tm)
+    t, prim, inst, bu, bv = res[:5]
 
     flat = lambda x: x.reshape(-1)[:n]
-    return flat(t), flat(prim), flat(inst), flat(bu), flat(bv)
+    out = (flat(t), flat(prim), flat(inst), flat(bu), flat(bv))
+    if with_stats:
+        return out + (res[5],)
+    return out
 
 
 @functools.partial(
@@ -706,6 +744,39 @@ def _run_shadow(arrays, meta, o, d, t_max, interpret=False,
     return occ.reshape(-1)[:n] != 0
 
 
+def with_mesh(wscene: WideScene, mesh) -> WideScene:
+    """Attach a device mesh: traces shard rays over mesh axis "px"."""
+    return wscene.replace(mesh=mesh)
+
+
+def _shard_ray_op(mesh, run, n_out: int, o, d, t_max):
+    """Run `run(o, d, t_max) -> n_out arrays` under shard_map over "px".
+
+    Rays are padded to a device multiple (t_max 0 on pad lanes = inactive),
+    each device traces its local shard against the replicated scene tables,
+    outputs concatenate back. Traversal is embarrassingly parallel over
+    rays, so there are no collectives inside; scene replication is the
+    sharding design of SURVEY.md's parallelism axis (image-space data
+    parallel)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n = o.shape[0]
+    n_dev = int(mesh.devices.size)
+    n_pad = -(-n // n_dev) * n_dev
+    if n_pad != n:
+        o = jnp.pad(o, ((0, n_pad - n), (0, 0)))
+        d = jnp.pad(d, ((0, n_pad - n), (0, 0)))
+        t_max = jnp.pad(t_max, (0, n_pad - n))
+    out = shard_map(
+        run, mesh=mesh,
+        in_specs=(P("px"), P("px"), P("px")),
+        out_specs=(P("px"),) * n_out,
+        check_rep=False,
+    )(o, d, t_max)
+    return tuple(x[:n] for x in out)
+
+
 def _arrays(wscene: WideScene):
     return (
         wscene.wide_child, wscene.wide_bounds, wscene.wide_perm,
@@ -729,10 +800,23 @@ def trace_closest_wide(
         t_max = jnp.where(active, t_max, 0.0)
 
     assert front <= MAX_FRONT, f"front={front} exceeds MAX_FRONT={MAX_FRONT}"
-    t, prim, inst, bu, bv = _run_trace(
-        _arrays(wscene), wscene.meta, o, d, t_max, interpret, tile_rows,
-        front, wscene.stack_cap, wscene.leaf_width,
-    )
+    if wscene.mesh is not None:
+        arrays = _arrays(wscene)
+
+        def run(oo, dd, tm):
+            return _run_trace(
+                arrays, wscene.meta, oo, dd, tm, interpret, tile_rows,
+                front, wscene.stack_cap, wscene.leaf_width,
+            )
+
+        t, prim, inst, bu, bv = _shard_ray_op(
+            wscene.mesh, run, 5, o, d, t_max
+        )
+    else:
+        t, prim, inst, bu, bv = _run_trace(
+            _arrays(wscene), wscene.meta, o, d, t_max, interpret, tile_rows,
+            front, wscene.stack_cap, wscene.leaf_width,
+        )
     miss = prim < 0
     kind = jnp.where(miss, 0, inst & 3)
     return HitRecord(
@@ -743,6 +827,43 @@ def trace_closest_wide(
         bu=bu,
         bv=bv,
     )
+
+
+def trace_closest_wide_stats(
+    wscene: WideScene, o, d, active=None, t_max=None,
+    interpret: bool | None = None, tile_rows: int = TILE_ROWS,
+    front: int = FRONT,
+):
+    """trace_closest_wide + per-packet traversal counters.
+
+    Returns (HitRecord, stats (g, 4) i32): per packet [wide nodes popped,
+    leaf rows drained, sync rounds, 0]. Feeds the v5e roofline memo
+    (BENCHLOG.md): node/leaf visit UNIONS per packet are the quantities the
+    packet design's cost model is built from."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = o.shape[0]
+    if t_max is None:
+        t_max = jnp.full((n,), T_INF, jnp.float32)
+    else:
+        t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    if active is not None:
+        t_max = jnp.where(active, t_max, 0.0)
+    t, prim, inst, bu, bv, stats = _run_trace(
+        _arrays(wscene), wscene.meta, o, d, t_max, interpret, tile_rows,
+        front, wscene.stack_cap, wscene.leaf_width, True,
+    )
+    miss = prim < 0
+    kind = jnp.where(miss, 0, inst & 3)
+    rec = HitRecord(
+        t=jnp.where(miss, T_INF, t),
+        kind=kind,
+        prim=prim,
+        inst=jnp.where(miss, -1, inst >> 2),
+        bu=bu,
+        bv=bv,
+    )
+    return rec, stats
 
 
 def shadow_occlusion_wide(
@@ -761,6 +882,17 @@ def shadow_occlusion_wide(
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
     assert front <= MAX_FRONT, f"front={front} exceeds MAX_FRONT={MAX_FRONT}"
+    if wscene.mesh is not None:
+        arrays = _arrays(wscene)
+
+        def run(oo, dd, tm):
+            return (_run_shadow(
+                arrays, wscene.meta, oo, dd, tm, interpret, tile_rows,
+                front, wscene.stack_cap, wscene.leaf_width,
+            ),)
+
+        (occ,) = _shard_ray_op(wscene.mesh, run, 1, o, d, t_max)
+        return occ
     return _run_shadow(
         _arrays(wscene), wscene.meta, o, d, t_max, interpret, tile_rows,
         front, wscene.stack_cap, wscene.leaf_width,

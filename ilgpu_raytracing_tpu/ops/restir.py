@@ -354,6 +354,7 @@ def restir_direct(
     delta_candidates: int = 1,
     static_reuse: bool = True,
     reference_weighting: bool = False,
+    reps: int = 1,
 ):
     """Candidate generation + reuse + selection (RTRay.cs:437-516).
 
@@ -366,6 +367,13 @@ def restir_direct(
     (candidates-only RIS): reservoir gathers are the single most expensive
     XLA op in the frame (~60% of frame time at 1080p measured on v5e), and
     deeper vertices never reuse anyway (RTRay.cs:282-287).
+
+    reps>1 declares that the batch is `reps` spp-sample tiles of the SAME
+    pixel range stacked ([tile0; tile1; ...], pixel_idx tiled to match):
+    the spatial neighbor rows -- which depend only on the pixel, not the
+    sample -- are then fetched once per pixel and tiled, instead of
+    re-selected per sample (the per-sample RNG still drives independent
+    streaming updates per lane).
     """
     total = local_candidates + delta_candidates
     mix_local = float(local_candidates) / float(total)
@@ -428,8 +436,12 @@ def restir_direct(
             res_packed, gb_packed, width, height, frame
         )
         start = pixel_idx[0]
+        m_px = pos.shape[0] // max(1, reps)
         for slot in range(len(_NEIGHBOR_BASE)):
-            row12, gbr7 = fetch(slot, start, pos.shape[0])
+            row12, gbr7 = fetch(slot, start, m_px)
+            if reps > 1:
+                row12 = jnp.tile(row12, (reps, 1))
+                gbr7 = jnp.tile(gbr7, (reps, 1))
             state, res, n_b, vld = _import_rows(
                 res, state, row12, gbr7, active & enable_spatial, own_obj,
                 own_z, cam_origin, n, albedo, mix_local, mix_delta,

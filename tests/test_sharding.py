@@ -60,3 +60,61 @@ def test_entry_compiles():
     lowered = jax.jit(fn).lower(*args)
     compiled = lowered.compile()
     assert compiled is not None
+
+
+def test_pallas_tracer_sharded_matches_unsharded():
+    """The PRODUCTION Pallas tracer under shard_map over an 8-device mesh
+    is bit-identical to single-device dispatch (round-2 verdict Missing #2:
+    GSPMD does not partition pallas_call; this is the manual path)."""
+    from ilgpu_raytracing_tpu.models.cornell import build_cornell_scene
+    from ilgpu_raytracing_tpu.ops.pallas import traverse_kernel as tk
+    from ilgpu_raytracing_tpu.ops.pallas import wide_kernel as wk
+
+    _, scene = build_cornell_scene(tess=4, sphere_tess=(8, 12), blas_leaf_size=8)
+    ws = wk.prepare_wide(tk.prepare(scene))
+    ws_mesh = wk.with_mesh(ws, shrd.make_mesh(8))
+
+    rs = np.random.RandomState(11)
+    n = 1000  # deliberately not divisible by the mesh (pad path)
+    o = jnp.asarray(rs.uniform(-0.5, 0.5, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rs.normal(size=(n, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    active = jnp.asarray(rs.rand(n) < 0.8)
+
+    r1 = wk.trace_closest_wide(ws, o, d, active=active)
+    r2 = wk.trace_closest_wide(ws_mesh, o, d, active=active)
+    for f in ("t", "prim", "inst", "bu", "bv"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(r1, f)), np.asarray(getattr(r2, f))
+        )
+    s1 = wk.shadow_occlusion_wide(ws, o, d, 10.0, active=active)
+    s2 = wk.shadow_occlusion_wide(ws_mesh, o, d, 10.0, active=active)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_full_frame_pallas_sharded():
+    """One full frame (primary + path trace + ReSTIR + TAAU) with the
+    production Pallas tracer dispatching through shard_map over the mesh,
+    compared against the same frame unsharded."""
+    import dataclasses
+
+    from ilgpu_raytracing_tpu.config import RenderConfig
+    from ilgpu_raytracing_tpu.models.cornell import (
+        build_cornell_scene,
+        cornell_camera,
+    )
+    from ilgpu_raytracing_tpu.ops.pallas import traverse_kernel as tk
+    from ilgpu_raytracing_tpu.ops.pallas import wide_kernel as wk
+    from ilgpu_raytracing_tpu.runtime.renderer import Renderer
+
+    _, scene = build_cornell_scene(tess=4, sphere_tess=(8, 12), blas_leaf_size=8)
+    cam = cornell_camera(64, 32)
+    cfg = RenderConfig(spp=1, max_depth=2, rng_lock_noise=0)
+    frames = {}
+    for sharded in (False, True):
+        r = Renderer(out_w=64, out_h=32, cfg=cfg, scene=scene, camera=cam)
+        ws = wk.prepare_wide(tk.prepare(scene))
+        r.pscene = wk.with_mesh(ws, shrd.make_mesh(8)) if sharded else ws
+        r.render_frames(2)
+        frames[sharded] = r.frame_rgb().astype(np.int32)
+    np.testing.assert_array_equal(frames[True], frames[False])

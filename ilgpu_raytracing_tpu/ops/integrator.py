@@ -267,7 +267,7 @@ def _path_trace_block(
         return jnp.where(ior > 0.0, ior, 1.5)
 
     def bounce_step(carry, depth, allow_reuse: bool, sun_occ0=None,
-                    sun_dir_n=None):
+                    sun_dir_n=None, final: bool = False):
         (pos, nrm, alb, shade, ior, thr, li, alive, view, state, wrote,
          res_cur, eff) = carry
 
@@ -397,25 +397,47 @@ def _path_trace_block(
         trace_active = alive & (~rr_kill)
         eff = eff + jnp.sum(trace_active.astype(jnp.float32))
         ray_o = _offset_origin(pos, offn, new_dir, cfg.eps_n)
-        hit = _trace(
-            scene, pscene, ray_o, new_dir, active=trace_active,
-            sort=cfg.sort_bounce_rays,
-        )
-        surf = traverse.shade_hits(scene, hit, ray_o, new_dir)
-        missed = trace_active & (~hit.hit)
-        li = li + jnp.where(
-            missed[..., None],
-            thr * sky_ops.sky_radiance(new_dir, sky_top, sky_bottom),
-            0.0,
-        )
-        alive = trace_active & hit.hit
-        keep = alive[..., None]
-        pos = jnp.where(keep, surf.pos, pos)
-        nrm = jnp.where(keep, surf.normal, nrm)
-        alb = jnp.where(keep, surf.albedo, alb)
-        shade = jnp.where(alive, surf.shading, shade)
-        ior = jnp.where(alive, surf.ior, ior)
-        view = jnp.where(keep, new_dir, view)
+        if final and not scene.has_alpha:
+            # the FINAL bounce's scatter trace is only ever consumed as a
+            # sky-visibility test (hit lanes contribute nothing -- their
+            # direct lighting would come from a bounce that never runs), so
+            # run the cheap early-exit any-hit kernel instead of the full
+            # closest walk and skip hit shading entirely. Hit/miss
+            # classification is identical (same accept predicate, t_max =
+            # inf). Alpha scenes keep the closest path: their shadow peel
+            # applies the +-0.10 any-hit band (SceneDeviceViews.cs:297-315),
+            # which is deliberately NOT the closest-hit cutout predicate.
+            occluded = _shadow(
+                scene, pscene, ray_o, new_dir, 1e29, active=trace_active,
+                sort=cfg.sort_bounce_rays,
+            )
+            missed = trace_active & (~occluded)
+            li = li + jnp.where(
+                missed[..., None],
+                thr * sky_ops.sky_radiance(new_dir, sky_top, sky_bottom),
+                0.0,
+            )
+            alive = trace_active & occluded
+        else:
+            hit = _trace(
+                scene, pscene, ray_o, new_dir, active=trace_active,
+                sort=cfg.sort_bounce_rays,
+            )
+            surf = traverse.shade_hits(scene, hit, ray_o, new_dir)
+            missed = trace_active & (~hit.hit)
+            li = li + jnp.where(
+                missed[..., None],
+                thr * sky_ops.sky_radiance(new_dir, sky_top, sky_bottom),
+                0.0,
+            )
+            alive = trace_active & hit.hit
+            keep = alive[..., None]
+            pos = jnp.where(keep, surf.pos, pos)
+            nrm = jnp.where(keep, surf.normal, nrm)
+            alb = jnp.where(keep, surf.albedo, alb)
+            shade = jnp.where(alive, surf.shading, shade)
+            ior = jnp.where(alive, surf.ior, ior)
+            view = jnp.where(keep, new_dir, view)
 
         return (
             pos, nrm, alb, shade, ior, thr, li, alive, view, state, wrote,
@@ -467,11 +489,13 @@ def _path_trace_block(
         eff0,
     )
     # bounce 0 reuse-enabled, deeper bounces candidates-only; unrolled
-    for depth in range(max(1, cfg.max_depth)):
+    n_bounce = max(1, cfg.max_depth)
+    for depth in range(n_bounce):
         carry, _ = bounce_step(
             carry, jnp.int32(depth), allow_reuse=(depth == 0),
             sun_occ0=sun_occ0 if depth == 0 else None,
             sun_dir_n=sun_dir_n if depth == 0 else None,
+            final=(depth == n_bounce - 1),
         )
     li = carry[6]
     wrote = carry[10]

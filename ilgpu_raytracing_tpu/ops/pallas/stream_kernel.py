@@ -134,11 +134,12 @@ def prepare_stream(scene: SceneData, resident: bool = False) -> StreamScene:
         inst_types[i] = BLAS_TRI_MESH
     roots = np.asarray(scene.inst_blas_root)
 
-    tri_row_list: list[np.ndarray] = []
+    tri_row_list: list[np.ndarray] = []  # (n_rows, 128) blocks, one per leaf
+    tri_row_count = [0]
     sph_rows: list[np.ndarray] = []
 
     def pack_tri_leaf(first: int, count: int) -> tuple[int, int]:
-        first_row = len(tri_row_list)
+        first_row = tri_row_count[0]
         n_rows = -(-count // LEAF_WIDTH)
         assert n_rows <= ROWS_PER_LEAF, (
             f"leaf of {count} tris needs {n_rows} rows > {ROWS_PER_LEAF}; "
@@ -152,7 +153,11 @@ def prepare_stream(scene: SceneData, resident: bool = False) -> StreamScene:
         block[:count, 9] = p.astype(np.float32)
         rows = np.zeros((n_rows, _LANES), np.float32)
         rows[:, : LEAF_WIDTH * TRI_STRIDE] = block.reshape(n_rows, -1)
-        tri_row_list.extend(rows)
+        # append the whole block; stacking 100k+ individual row arrays at
+        # the end cost ~25 s at 1M tris (one np.concatenate of ~8k blocks
+        # is milliseconds)
+        tri_row_list.append(rows)
+        tri_row_count[0] += n_rows
         return first_row, n_rows
 
     def pack_sph_leaf(first: int, count: int) -> int:
@@ -256,7 +261,7 @@ def prepare_stream(scene: SceneData, resident: bool = False) -> StreamScene:
     )
 
     # pad so a fixed ROWS_PER_LEAF-row DMA can never run off the end
-    body = (np.stack(tri_row_list) if tri_row_list
+    body = (np.concatenate(tri_row_list, axis=0) if tri_row_list
             else np.zeros((1, _LANES), np.float32))
     tri = np.concatenate(
         [body, np.zeros((ROWS_PER_LEAF, _LANES), np.float32)], axis=0

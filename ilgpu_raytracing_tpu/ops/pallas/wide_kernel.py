@@ -199,6 +199,12 @@ def prepare_wide(pscene: PallasScene) -> WideScene:
     perms = np.stack(
         [_octant_perms(wb_all[i], wc_all[i]) for i in range(len(wc_all))]
     )
+    # leaf encodings ride in the low _Q_MASK_SHIFT bits of queue entries
+    # (subtile want mask above); the VMEM row cap (~200k tris) sits far
+    # below this, so the assert only guards future capacity changes
+    assert int(-(wc_all.min())) - 2 < (1 << _Q_MASK_SHIFT), (
+        "leaf row index overflows the queue's 24-bit leaf encoding"
+    )
     cap = _stack_bound(wc_all, [m[1] for m in meta]) + WIDTH
     assert cap <= 16384, (
         f"wide BVH needs a {cap}-entry traversal stack (pathologically "
@@ -269,10 +275,28 @@ def _packet_octant(dx, dy, dz):
     return o + jnp.where(dz[0, 0] > 0.0, jnp.int32(1), jnp.int32(0))
 
 
+SUB_ROWS = 8  # one native (8,128) vreg per subtile
+DRAIN_UNROLL = 4  # leaves decoded+loaded per drain iteration (loads pipeline)
+
+_Q_MASK_SHIFT = 24  # leaf enc rides bits 0..23, subtile want mask above
+
+
 def _make_closest_kernel(meta, tile_rows: int, front: int,
                          stack_cap: int = STACK_CAP,
                          leaf_width: int = WIDTH,
                          with_stats: bool = False):
+    # subtile-gated leaf drain: the tile splits into (8,128) subtiles; each
+    # queued leaf carries a per-subtile want mask (from the child slab test)
+    # and the drain MT-tests ONLY wanting subtiles. On incoherent sorted
+    # bounce packets most leaves are wanted by 1-2 of 4 subtiles, so this
+    # cuts the dominant leaf-phase VPU cost toward the roofline's unions/2
+    # band (BENCHLOG.md memo) while keeping the 4096-lane node-phase
+    # amortization. Hit state lives in the output refs so pl.when can
+    # update (8,128) slices in place; results are bit-identical (same test
+    # order, same accept predicate).
+    n_sub = tile_rows // SUB_ROWS if tile_rows % SUB_ROWS == 0 else 1
+    sub_rows = tile_rows // n_sub
+
     def kernel(wc_ref, wb_ref, wp_ref, tri_ref, sph_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                t_ref, prim_ref, inst_ref, bu_ref, bv_ref,
@@ -281,6 +305,17 @@ def _make_closest_kernel(meta, tile_rows: int, front: int,
             stats_ref, stack_ref, queue_ref = rest
         else:
             stack_ref, queue_ref = rest
+        shape = ox_ref.shape
+        wox, woy, woz = ox_ref[...], oy_ref[...], oz_ref[...]
+        wdx, wdy, wdz = dx_ref[...], dy_ref[...], dz_ref[...]
+        t_limit = tmax_ref[...]
+
+        t_ref[...] = jnp.minimum(jnp.full(shape, T_INF, jnp.float32), t_limit)
+        prim_ref[...] = jnp.full(shape, -1, jnp.int32)
+        inst_ref[...] = jnp.full(shape, -1, jnp.int32)
+        bu_ref[...] = jnp.zeros(shape, jnp.float32)
+        bv_ref[...] = jnp.zeros(shape, jnp.float32)
+
         # traversal counters (per packet): wide nodes popped, leaf rows
         # drained, vector->scalar sync rounds. Carried unconditionally
         # (scalar adds are free next to the slab tests); written only in
@@ -288,16 +323,7 @@ def _make_closest_kernel(meta, tile_rows: int, front: int,
         nn_tot = jnp.int32(0)
         lv_tot = jnp.int32(0)
         rd_tot = jnp.int32(0)
-        shape = ox_ref.shape
-        wox, woy, woz = ox_ref[...], oy_ref[...], oz_ref[...]
-        wdx, wdy, wdz = dx_ref[...], dy_ref[...], dz_ref[...]
-        t_limit = tmax_ref[...]
-
-        t_best = jnp.minimum(jnp.full(shape, T_INF, jnp.float32), t_limit)
-        prim_best = jnp.full(shape, -1, jnp.int32)
-        inst_best = jnp.full(shape, -1, jnp.int32)
-        bu_best = jnp.zeros(shape, jnp.float32)
-        bv_best = jnp.zeros(shape, jnp.float32)
+        sm_tot = jnp.int32(0)  # total wanted subtiles over queued leaves
 
         for kind, wide_root, w2o, wbounds, inst_id in meta:
             # instance id and BLAS kind ride together in the hit record:
@@ -316,51 +342,72 @@ def _make_closest_kernel(meta, tile_rows: int, front: int,
             ix, iy, iz = _inv(dx), _inv(dy), _inv(dz)
             wix, wiy, wiz = _inv(wdx), _inv(wdy), _inv(wdz)
             enter = _instance_enter(
-                wbounds, wox, woy, woz, wix, wiy, wiz, t_best
+                wbounds, wox, woy, woz, wix, wiy, wiz, t_ref[...]
             )
             octant = _packet_octant(dx, dy, dz)
             sp0 = jax.lax.select(jnp.any(enter), jnp.int32(1), jnp.int32(0))
             stack_ref[0] = jnp.int32(wide_root)
 
-            def drain(n_q, t_b, p_b, i_b, bu_b, bv_b):
+            def drain(n_q):
+                # per-leaf iteration: unrolling leaf loads here regresses
+                # (4 live rows x 5 output refs spill; measured 25->40 ms on
+                # primary) -- the shadow kernel, with one output ref, keeps
+                # the unrolled pipeline. enc >= 0 always: shift decode.
                 def leaf_body(q, carry):
-                    t_b, p_b, i_b, bu_b, bv_b = carry
-                    packed = queue_ref[q]  # leaf enc (already decoded sign)
-                    first = packed // 16
-                    count = packed % 16
+                    packed = queue_ref[q]
+                    sub = packed >> _Q_MASK_SHIFT
+                    enc = packed & ((1 << _Q_MASK_SHIFT) - 1)
+                    first = enc >> 4
+                    count = enc & 15
                     if kind == BLAS_TRI_MESH:
                         leaf_row = tri_ref[pl.ds(first, 1), :]
-                        t_n, p_n, bu_n, bv_n = _leaf_tri_test(
-                            leaf_row, count, ox, oy, oz, dx, dy, dz,
-                            t_b, p_b, bu_b, bv_b, leaf_width,
-                        )
                     else:
                         leaf_row = sph_ref[pl.ds(first, 1), :]
-                        t_n, p_n = _leaf_sph_test(
-                            leaf_row, count, ox, oy, oz, dx, dy, dz, t_b, p_b,
-                            leaf_width,
-                        )
-                        bu_n, bv_n = bu_b, bv_b
-                    took = t_n < t_b
-                    return (
-                        t_n, p_n, jnp.where(took, inst_enc, i_b), bu_n, bv_n,
-                    )
+                    for s in range(n_sub):
+                        @pl.when(((sub >> s) & 1) != 0)
+                        def _(s=s):
+                            sl = slice(s * sub_rows, (s + 1) * sub_rows)
+                            t_b = t_ref[sl, :]
+                            p_b = prim_ref[sl, :]
+                            if kind == BLAS_TRI_MESH:
+                                t_n, p_n, bu_n, bv_n = _leaf_tri_test(
+                                    leaf_row, count,
+                                    ox[sl], oy[sl], oz[sl],
+                                    dx[sl], dy[sl], dz[sl],
+                                    t_b, p_b, bu_ref[sl, :], bv_ref[sl, :],
+                                    leaf_width,
+                                )
+                                bu_ref[sl, :] = bu_n
+                                bv_ref[sl, :] = bv_n
+                            else:
+                                t_n, p_n = _leaf_sph_test(
+                                    leaf_row, count,
+                                    ox[sl], oy[sl], oz[sl],
+                                    dx[sl], dy[sl], dz[sl],
+                                    t_b, p_b, leaf_width,
+                                )
+                            took = t_n < t_b
+                            t_ref[sl, :] = t_n
+                            prim_ref[sl, :] = p_n
+                            inst_ref[sl, :] = jnp.where(
+                                took, inst_enc, inst_ref[sl, :]
+                            )
+                    return carry
 
-                return lax.fori_loop(
-                    0, n_q, leaf_body, (t_b, p_b, i_b, bu_b, bv_b)
-                )
+                return lax.fori_loop(0, n_q, leaf_body, jnp.int32(0))
 
             def seg_cond(c):
                 return c[0] > 0
 
             def seg_body(c):
-                sp, t_b, p_b, i_b, bu_b, bv_b, nn, lv, rd = c
+                sp, nn, lv, rd, sm = c
+                t_b = t_ref[...]  # tightened by the previous segment's drain
 
                 def walk_cond(w):
                     return (w[0] > 0) & (w[1] < QUEUE_CAP)
 
                 def walk_body(w):
-                    sp, n_q, t_b, nn, rd = w
+                    sp, n_q, nn, rd, sm = w
                     rd = rd + 1
                     # pop up to `front` nodes before touching any reduction
                     popped = []
@@ -388,7 +435,16 @@ def _make_closest_kernel(meta, tile_rows: int, front: int,
                                 wb_ref, base_b + c8 * 6,
                                 ox, oy, oz, ix, iy, iz, t_b,
                             )
-                            hit = jnp.any(mask) & (child != _EMPTY) & has
+                            # per-subtile wants; the full-tile any is their
+                            # OR (same reduction work, the anys pipeline)
+                            wants = [
+                                jnp.any(mask[s * sub_rows:(s + 1) * sub_rows, :])
+                                for s in range(n_sub)
+                            ]
+                            any_w = wants[0]
+                            for wnt in wants[1:]:
+                                any_w = any_w | wnt
+                            hit = any_w & (child != _EMPTY) & has
                             is_inner = child >= 0
                             do_push = hit & is_inner
                             slot = jax.lax.select(
@@ -397,41 +453,46 @@ def _make_closest_kernel(meta, tile_rows: int, front: int,
                             stack_ref[slot] = child
                             sp = sp + jax.lax.select(do_push, 1, 0)
                             # queue hit leaf children (near-first order)
+                            # with their subtile want mask in the high bits
                             do_q = hit & (~is_inner)
                             qslot = jax.lax.select(
                                 do_q, n_q, jnp.int32(QUEUE_CAP + WIDTH * front)
                             )
-                            queue_ref[qslot] = -child - 2  # decode leaf enc
+                            submask = jnp.int32(0)
+                            for s, wnt in enumerate(wants):
+                                submask = submask + jax.lax.select(
+                                    wnt, jnp.int32(1 << s), jnp.int32(0)
+                                )
+                            queue_ref[qslot] = (
+                                (-child - 2) + (submask << _Q_MASK_SHIFT)
+                            )
                             n_q = n_q + jax.lax.select(do_q, 1, 0)
-                    return sp, n_q, t_b, nn, rd
+                            npop = jnp.int32(0)
+                            for wnt in wants:
+                                npop = npop + jax.lax.select(
+                                    wnt, jnp.int32(1), jnp.int32(0)
+                                )
+                            sm = sm + jax.lax.select(do_q, npop, jnp.int32(0))
+                    return sp, n_q, nn, rd, sm
 
-                sp, n_q, t_b, nn, rd = lax.while_loop(
-                    walk_cond, walk_body, (sp, jnp.int32(0), t_b, nn, rd)
+                sp, n_q, nn, rd, sm = lax.while_loop(
+                    walk_cond, walk_body, (sp, jnp.int32(0), nn, rd, sm)
                 )
                 lv = lv + n_q
-                t_b, p_b, i_b, bu_b, bv_b = drain(
-                    n_q, t_b, p_b, i_b, bu_b, bv_b
-                )
-                return sp, t_b, p_b, i_b, bu_b, bv_b, nn, lv, rd
+                drain(n_q)
+                return sp, nn, lv, rd, sm
 
             out = lax.while_loop(
-                seg_cond, seg_body,
-                (sp0, t_best, prim_best, inst_best, bu_best, bv_best,
-                 nn_tot, lv_tot, rd_tot),
+                seg_cond, seg_body, (sp0, nn_tot, lv_tot, rd_tot, sm_tot)
             )
-            (_, t_best, prim_best, inst_best, bu_best, bv_best,
-             nn_tot, lv_tot, rd_tot) = out
+            _, nn_tot, lv_tot, rd_tot, sm_tot = out
 
-        t_ref[...] = t_best
-        prim_ref[...] = prim_best
-        inst_ref[...] = inst_best
-        bu_ref[...] = bu_best
-        bv_ref[...] = bv_best
         if with_stats:
-            stats_ref[0, 0] = nn_tot
-            stats_ref[0, 1] = lv_tot
-            stats_ref[0, 2] = rd_tot
-            stats_ref[0, 3] = jnp.int32(0)
+            gi = pl.program_id(0)
+            stats_ref[gi, 0] = nn_tot
+            stats_ref[gi, 1] = lv_tot
+            stats_ref[gi, 2] = rd_tot
+            stats_ref[gi, 3] = sm_tot
 
     return kernel
 
@@ -471,8 +532,10 @@ def _leaf_tri_anyhit(leaf_row, count, ox, oy, oz, dx, dy, dz, t_limit, occ,
         ok = ok & (bv >= 0.0) & (bu + bv <= 1.0)
         t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
         ok = ok & (t > T_EPS) & (t < t_limit) & (j < count)
-        # occ is f32 0/1 (Mosaic cannot carry i1 vectors through loops)
-        occ = jnp.maximum(occ, (ok & gate).astype(jnp.float32))
+        # occ is a 0/1 latch in the caller's dtype (f32 when carried through
+        # scf loops -- Mosaic cannot carry i1 vectors -- i32 when it lives
+        # in an output ref)
+        occ = jnp.maximum(occ, (ok & gate).astype(occ.dtype))
     return occ
 
 
@@ -502,7 +565,7 @@ def _leaf_sph_anyhit(leaf_row, count, ox, oy, oz, dx, dy, dz, t_limit, occ,
         t1 = (-b + sq) * inv2a
         t = jnp.where(t0 >= T_EPS, t0, t1)
         ok = ok & (t >= T_EPS) & (t < t_limit) & (r > 0.0) & (j < count)
-        occ = jnp.maximum(occ, (ok & gate).astype(jnp.float32))
+        occ = jnp.maximum(occ, (ok & gate).astype(occ.dtype))
     return occ
 
 
@@ -511,6 +574,12 @@ def _make_shadow_kernel(meta, tile_rows: int, front: int,
                         leaf_width: int = WIDTH):
     """Any-hit occlusion kernel: first accepted hit latches a lane; the walk
     drops occluded lanes from every mask and exits once all lanes resolve."""
+
+    # subtile-gated drain as in _make_closest_kernel: the occluded latch
+    # lives in the i32 output ref so pl.when updates (8,128) slices of only
+    # the subtiles that want each leaf.
+    n_sub = tile_rows // SUB_ROWS if tile_rows % SUB_ROWS == 0 else 1
+    sub_rows = tile_rows // n_sub
 
     def kernel(wc_ref, wb_ref, wp_ref, tri_ref, sph_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
@@ -521,9 +590,7 @@ def _make_shadow_kernel(meta, tile_rows: int, front: int,
         t_limit = tmax_ref[...]
         active0 = t_limit > 0.0
 
-        # occluded flag as f32 0/1: Mosaic cannot carry vector<i1> through
-        # scf loops, so the latch lives in float and compares at use sites
-        occ = jnp.zeros(shape, jnp.float32)
+        occ_ref[...] = jnp.zeros(shape, jnp.int32)
 
         for kind, wide_root, w2o, wbounds, inst_id in meta:
             if _is_identity(w2o):
@@ -537,37 +604,71 @@ def _make_shadow_kernel(meta, tile_rows: int, front: int,
             enter = (
                 _instance_enter(wbounds, wox, woy, woz, wix, wiy, wiz, t_limit)
                 & active0
-                & (occ < 0.5)
+                & (occ_ref[...] == 0)
             )
             octant = _packet_octant(dx, dy, dz)
             sp0 = jax.lax.select(jnp.any(enter), jnp.int32(1), jnp.int32(0))
             stack_ref[0] = jnp.int32(wide_root)
 
-            def drain(n_q, occ):
-                def leaf_body(q, occ):
-                    packed = queue_ref[q]
-                    first = packed // 16
-                    count = packed % 16
-                    if kind == BLAS_TRI_MESH:
-                        leaf_row = tri_ref[pl.ds(first, 1), :]
-                        return _leaf_tri_anyhit(
-                            leaf_row, count, ox, oy, oz, dx, dy, dz,
-                            t_limit, occ, active0, leaf_width,
-                        )
-                    leaf_row = sph_ref[pl.ds(first, 1), :]
-                    return _leaf_sph_anyhit(
-                        leaf_row, count, ox, oy, oz, dx, dy, dz,
-                        t_limit, occ, active0, leaf_width,
-                    )
+            def drain(n_q):
+                # DRAIN_UNROLL leaves are decoded and their rows loaded
+                # up-front each iteration so the dependent VMEM loads
+                # pipeline; ~half the per-row cost is scalar/load latency,
+                # not VPU work (BENCHLOG roofline memo). enc >= 0 always,
+                # so decode uses shifts, not div/mod, on the scalar core.
+                def leaf_body(qq, carry):
+                    q0 = qq * DRAIN_UNROLL
+                    loaded = []
+                    for u in range(DRAIN_UNROLL):
+                        qi = q0 + u
+                        valid = qi < n_q
+                        packed = queue_ref[jax.lax.select(
+                            valid, qi, jnp.int32(QUEUE_CAP + WIDTH * front)
+                        )]
+                        # invalid tail -> sub=0: every subtile gate skips
+                        packed = jax.lax.select(valid, packed, jnp.int32(0))
+                        sub = packed >> _Q_MASK_SHIFT
+                        enc = packed & ((1 << _Q_MASK_SHIFT) - 1)
+                        first = enc >> 4
+                        count = enc & 15
+                        if kind == BLAS_TRI_MESH:
+                            leaf_row = tri_ref[pl.ds(first, 1), :]
+                        else:
+                            leaf_row = sph_ref[pl.ds(first, 1), :]
+                        loaded.append((sub, count, leaf_row))
+                    for sub, count, leaf_row in loaded:
+                      for s in range(n_sub):
+                        @pl.when(((sub >> s) & 1) != 0)
+                        def _(s=s, count=count, leaf_row=leaf_row):
+                            sl = slice(s * sub_rows, (s + 1) * sub_rows)
+                            occ_b = occ_ref[sl, :]
+                            if kind == BLAS_TRI_MESH:
+                                occ_n = _leaf_tri_anyhit(
+                                    leaf_row, count,
+                                    ox[sl], oy[sl], oz[sl],
+                                    dx[sl], dy[sl], dz[sl],
+                                    t_limit[sl], occ_b, active0[sl],
+                                    leaf_width,
+                                )
+                            else:
+                                occ_n = _leaf_sph_anyhit(
+                                    leaf_row, count,
+                                    ox[sl], oy[sl], oz[sl],
+                                    dx[sl], dy[sl], dz[sl],
+                                    t_limit[sl], occ_b, active0[sl],
+                                    leaf_width,
+                                )
+                            occ_ref[sl, :] = occ_n
+                    return carry
 
-                return lax.fori_loop(0, n_q, leaf_body, occ)
+                n_grp = (n_q + DRAIN_UNROLL - 1) // DRAIN_UNROLL
+                return lax.fori_loop(0, n_grp, leaf_body, jnp.int32(0))
 
-            def seg_cond(c):
-                return c[0] > 0
+            def seg_cond(sp):
+                return sp > 0
 
-            def seg_body(c):
-                sp, occ = c
-                open_mask = active0 & (occ < 0.5)
+            def seg_body(sp):
+                open_mask = active0 & (occ_ref[...] == 0)
 
                 def walk_cond(w):
                     return (w[0] > 0) & (w[1] < QUEUE_CAP)
@@ -596,7 +697,14 @@ def _make_shadow_kernel(meta, tile_rows: int, front: int,
                                 wb_ref, base_b + c8 * 6,
                                 ox, oy, oz, ix, iy, iz, T_INF,
                             ) & open_mask
-                            hit = jnp.any(mask) & (child != _EMPTY) & has
+                            wants = [
+                                jnp.any(mask[s * sub_rows:(s + 1) * sub_rows, :])
+                                for s in range(n_sub)
+                            ]
+                            any_w = wants[0]
+                            for wnt in wants[1:]:
+                                any_w = any_w | wnt
+                            hit = any_w & (child != _EMPTY) & has
                             is_inner = child >= 0
                             do_push = hit & is_inner
                             slot = jax.lax.select(
@@ -608,22 +716,26 @@ def _make_shadow_kernel(meta, tile_rows: int, front: int,
                             qslot = jax.lax.select(
                                 do_q, n_q, jnp.int32(QUEUE_CAP + WIDTH * front)
                             )
-                            queue_ref[qslot] = -child - 2
+                            submask = jnp.int32(0)
+                            for s, wnt in enumerate(wants):
+                                submask = submask + jax.lax.select(
+                                    wnt, jnp.int32(1 << s), jnp.int32(0)
+                                )
+                            queue_ref[qslot] = (
+                                (-child - 2) + (submask << _Q_MASK_SHIFT)
+                            )
                             n_q = n_q + jax.lax.select(do_q, 1, 0)
                     return sp, n_q
 
                 sp, n_q = lax.while_loop(
                     walk_cond, walk_body, (sp, jnp.int32(0))
                 )
-                occ = drain(n_q, occ)
+                drain(n_q)
                 # early exit: stop the whole walk once every lane resolved
-                any_open = jnp.any(active0 & (occ < 0.5))
-                sp = jax.lax.select(any_open, sp, jnp.int32(0))
-                return sp, occ
+                any_open = jnp.any(active0 & (occ_ref[...] == 0))
+                return jax.lax.select(any_open, sp, jnp.int32(0))
 
-            sp0, occ = lax.while_loop(seg_cond, seg_body, (sp0, occ))
-
-        occ_ref[...] = (occ > 0.5).astype(jnp.int32)
+            lax.while_loop(seg_cond, seg_body, sp0)
 
     return kernel
 
@@ -671,9 +783,9 @@ def _run_trace(arrays, meta, o, d, t_max, interpret=False,
     out_specs = [ray_spec] * 5
     if with_stats:
         out_shape.append(jax.ShapeDtypeStruct((g, 4), jnp.int32))
-        out_specs.append(pl.BlockSpec(
-            (1, 4), lambda i, s1, s2, s3: (i, 0), memory_space=pltpu.SMEM
-        ))
+        # full-array SMEM output indexed by program_id (a (1,4) block fails
+        # the TPU (8,128)-divisibility rule for blocked specs)
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     res = pl.pallas_call(
         kernel,
         out_shape=out_shape,

@@ -356,18 +356,21 @@ class SceneBuilder:
         if tri_mat is None:
             tri_mat = np.zeros((T,), dtype=np.int32)
 
+        def _cat(old, new):
+            # concatenating onto an empty array still copies `new`; at 1M
+            # tris those copies cost seconds on this host's memory
+            # bandwidth, so the first mesh adopts its arrays directly
+            return new if old.shape[0] == 0 else np.concatenate([old, new])
+
         base_vertex = self.positions.shape[0]
         base_tri = self.tri_indices.shape[0]
-        self.positions = np.concatenate([self.positions, positions])
-        self.tri_indices = np.concatenate(
-            [self.tri_indices, tri_indices + base_vertex]
+        self.positions = _cat(self.positions, positions)
+        self.tri_indices = _cat(
+            self.tri_indices,
+            tri_indices if base_vertex == 0 else tri_indices + base_vertex,
         )
-        self.tri_uvs = np.concatenate(
-            [self.tri_uvs, np.asarray(tri_uvs, dtype=np.float32)]
-        )
-        self.tri_mat = np.concatenate(
-            [self.tri_mat, np.asarray(tri_mat, dtype=np.int32)]
-        )
+        self.tri_uvs = _cat(self.tri_uvs, np.asarray(tri_uvs, dtype=np.float32))
+        self.tri_mat = _cat(self.tri_mat, np.asarray(tri_mat, dtype=np.int32))
 
         v0 = positions[tri_indices[:, 0]]
         v1 = positions[tri_indices[:, 1]]

@@ -134,7 +134,11 @@ def prepare_stream(scene: SceneData, resident: bool = False) -> StreamScene:
         inst_types[i] = BLAS_TRI_MESH
     roots = np.asarray(scene.inst_blas_root)
 
-    tri_row_list: list[np.ndarray] = []  # (n_rows, 128) blocks, one per leaf
+    # tri leaves are only REGISTERED during the walk (first/count/row
+    # assignment); the actual packing happens once, vectorized, after the
+    # walk. Per-leaf numpy packing touched ~200 MB of fresh pages at 1M
+    # tris, which costs ~20 s on this host's page-fault throughput.
+    tri_leaves: list[tuple[int, int, int]] = []  # (first, count, row_start)
     tri_row_count = [0]
     sph_rows: list[np.ndarray] = []
 
@@ -145,18 +149,7 @@ def prepare_stream(scene: SceneData, resident: bool = False) -> StreamScene:
             f"leaf of {count} tris needs {n_rows} rows > {ROWS_PER_LEAF}; "
             f"build with blas_leaf_size <= {ROWS_PER_LEAF * LEAF_WIDTH}"
         )
-        block = np.zeros((n_rows * LEAF_WIDTH, TRI_STRIDE), np.float32)
-        p = tri_prim[first : first + count]
-        block[:count, 0:3] = tri_v0[p]
-        block[:count, 3:6] = tri_e1[p]
-        block[:count, 6:9] = tri_e2[p]
-        block[:count, 9] = p.astype(np.float32)
-        rows = np.zeros((n_rows, _LANES), np.float32)
-        rows[:, : LEAF_WIDTH * TRI_STRIDE] = block.reshape(n_rows, -1)
-        # append the whole block; stacking 100k+ individual row arrays at
-        # the end cost ~25 s at 1M tris (one np.concatenate of ~8k blocks
-        # is milliseconds)
-        tri_row_list.append(rows)
+        tri_leaves.append((first, count, first_row))
         tri_row_count[0] += n_rows
         return first_row, n_rows
 
@@ -260,12 +253,35 @@ def prepare_stream(scene: SceneData, resident: bool = False) -> StreamScene:
         f"deep/unbalanced tree); rebuild with a different BVH method"
     )
 
-    # pad so a fixed ROWS_PER_LEAF-row DMA can never run off the end
-    body = (np.concatenate(tri_row_list, axis=0) if tri_row_list
-            else np.zeros((1, _LANES), np.float32))
-    tri = np.concatenate(
-        [body, np.zeros((ROWS_PER_LEAF, _LANES), np.float32)], axis=0
-    )
+    # one vectorized pack of every tri leaf: leaf tris occupy contiguous
+    # flat slots [row_start*8, row_start*8+count) of a (rows*8, stride)
+    # view, so a single repeat/cumsum scatter fills the whole table.
+    # Padded to ROWS_PER_LEAF extra rows so a fixed-size DMA can never run
+    # off the end.
+    total_rows = max(1, tri_row_count[0])
+    tri = np.zeros((total_rows + ROWS_PER_LEAF, _LANES), np.float32)
+    if tri_leaves:
+        firsts = np.asarray([l[0] for l in tri_leaves], np.int64)
+        counts = np.asarray([l[1] for l in tri_leaves], np.int64)
+        starts = np.asarray([l[2] for l in tri_leaves], np.int64)
+        tot = int(counts.sum())
+        ends = np.cumsum(counts)
+        within = np.arange(tot, dtype=np.int64) - np.repeat(
+            ends - counts, counts
+        )
+        src = np.repeat(firsts, counts) + within
+        dst = np.repeat(starts * LEAF_WIDTH, counts) + within
+        pidx = tri_prim[src]
+        # NB a reshape of the non-contiguous tri[:, :96] slice would COPY;
+        # scatter into a dense scratch, then one strided assign into tri
+        flat = np.zeros((total_rows * LEAF_WIDTH, TRI_STRIDE), np.float32)
+        flat[dst, 0:3] = tri_v0[pidx]
+        flat[dst, 3:6] = tri_e1[pidx]
+        flat[dst, 6:9] = tri_e2[pidx]
+        flat[dst, 9] = pidx.astype(np.float32)
+        tri[: total_rows, : LEAF_WIDTH * TRI_STRIDE] = flat.reshape(
+            total_rows, LEAF_WIDTH * TRI_STRIDE
+        )
 
     def rows_or_dummy(rows):
         return np.stack(rows) if rows else np.zeros((1, _LANES), np.float32)

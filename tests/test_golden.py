@@ -16,6 +16,9 @@ from ilgpu_raytracing_tpu.models.cornell import build_cornell_scene, cornell_cam
 from ilgpu_raytracing_tpu.models.scene import build_default_scene
 from ilgpu_raytracing_tpu.ops import integrator, sky
 from ilgpu_raytracing_tpu.ops.restir import Reservoirs
+import pytest
+
+pytestmark = pytest.mark.slow  # golden renders: multi-frame full pipelines
 
 _G = os.path.join(os.path.dirname(__file__), "goldens")
 

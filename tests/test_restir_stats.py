@@ -25,6 +25,9 @@ from ilgpu_raytracing_tpu.config import RenderConfig
 from ilgpu_raytracing_tpu.models.camera import Camera
 from ilgpu_raytracing_tpu.models.scene import build_default_scene
 from ilgpu_raytracing_tpu.ops import integrator, restir, sky
+import pytest
+
+pytestmark = pytest.mark.slow  # statistical: 48-seed frame sequences
 
 W, H = 48, 32
 SEEDS = 48

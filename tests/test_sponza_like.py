@@ -17,6 +17,9 @@ from ilgpu_raytracing_tpu.models.sponza_like import (
 )
 from ilgpu_raytracing_tpu.ops import integrator, sky
 from ilgpu_raytracing_tpu.ops.restir import Reservoirs
+import pytest
+
+pytestmark = pytest.mark.slow  # OBJ multi-material pipeline renders
 
 _G = os.path.join(os.path.dirname(__file__), "goldens")
 

@@ -12,6 +12,9 @@ from ilgpu_raytracing_tpu.models.cornell import build_cornell_scene, cornell_cam
 from ilgpu_raytracing_tpu.models.terrain import build_terrain_scene, terrain_camera
 from ilgpu_raytracing_tpu.ops import rays as rays_mod, traverse
 from ilgpu_raytracing_tpu.ops.pallas import stream_kernel as sk
+import pytest
+
+pytestmark = pytest.mark.slow  # large-scene streaming kernel builds
 
 
 def _jittered_rays(cam, w, h, seed=3):

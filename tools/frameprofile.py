@@ -24,7 +24,10 @@ import numpy as np
 
 def _parse_xplane(trace_dir: str):
     """Aggregate (op_name -> total device ns) from the captured xplane."""
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    try:
+        from tensorboard_plugin_profile.protobuf import xplane_pb2
+    except ImportError:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(
         os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True

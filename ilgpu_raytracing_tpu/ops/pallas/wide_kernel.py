@@ -41,14 +41,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ilgpu_raytracing_tpu.models.scene import BLAS_SPHERE_SET, BLAS_TRI_MESH
-from ilgpu_raytracing_tpu.ops.intersect import T_EPS, T_INF
+from ilgpu_raytracing_tpu.ops.intersect import (
+    T_EPS,
+    T_INF,
+    intersect_triangle,
+)
 from ilgpu_raytracing_tpu.ops.traverse import KIND_SPHERE, KIND_TRI, HitRecord
 from ilgpu_raytracing_tpu.ops.pallas.traverse_kernel import (
     PallasScene,
     _inv,
     _is_identity,
-    _leaf_sph_test,
-    _leaf_tri_test,
     _transform,
     prepare,  # noqa: F401
     supports_scene,  # noqa: F401
@@ -102,6 +104,12 @@ class WideScene:
     wide_perm: jnp.ndarray  # (W*8,) i32: per-octant child order, 4b/child
     tri_rows: jnp.ndarray  # (Lt,128) f32 VMEM (shared with PallasScene)
     sph_rows: jnp.ndarray  # (Ls,128) f32
+    # XLA-side (HBM) tables for the barycentric epilogue: per-prim triangle
+    # (v0, e1, e2) rows and per-instance world->object affines. The kernel
+    # returns only (t, prim|inst); bu/bv are recomputed per lane against the
+    # winning triangle with ops/intersect.intersect_triangle.
+    tri_v0e: jnp.ndarray = None  # (T, 9) f32
+    inst_w2o: jnp.ndarray = None  # (I, 12) f32
     meta: tuple = struct.field(pytree_node=False, default=())
     # per-scene worst-case stack occupancy (see _stack_bound); the kernels
     # size their SMEM stack scratch from this, so overflow is impossible
@@ -210,12 +218,52 @@ def prepare_wide(pscene: PallasScene) -> WideScene:
         f"wide BVH needs a {cap}-entry traversal stack (pathologically "
         f"deep/unbalanced tree); rebuild with a different BVH method"
     )
+
+    # per-prim (v0,e1,e2) table for the barycentric epilogue, reconstructed
+    # from the packed leaf rows (each prim lives in exactly one leaf slot;
+    # empty slots are all-zero and excluded). Vectorized: this host's
+    # first-touch memory is slow, per-slot python loops are not an option.
+    tri_rows_np = np.asarray(pscene.tri_rows)
+    from ilgpu_raytracing_tpu.ops.pallas.traverse_kernel import TRI_STRIDE
+    slot_base = np.arange(WIDTH) * TRI_STRIDE  # (8,)
+    ids = tri_rows_np[:, slot_base + 9].astype(np.int64)  # (L,8)
+    vals = tri_rows_np[:, slot_base[:, None] + np.arange(9)[None, :]]
+    real = (ids != 0) | (np.abs(vals).sum(axis=-1) > 0.0)
+    n_tbl = int(ids[real].max()) + 1 if real.any() else 1
+    tri_v0e = np.zeros((n_tbl, 9), np.float32)
+    tri_v0e[ids[real]] = vals[real]
+
+    max_inst = max((m[4] for m in meta), default=0)
+    inst_w2o = np.tile(
+        np.array([1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0], np.float32),
+        (max_inst + 1, 1),
+    )
+    for kind, _wid, w2o, _wb, inst_id in meta:
+        inst_w2o[inst_id] = np.asarray(w2o, np.float32)
+
+    max_prim = max(
+        n_tbl - 1,
+        int(np.asarray(pscene.sph_rows)[:, [
+            j * 16 + 4 for j in range(WIDTH)
+        ]].max()),
+    )
+    assert max_prim < (1 << PP_PRIM_BITS), (
+        f"prim id {max_prim} overflows the {PP_PRIM_BITS}-bit packed hit "
+        f"record (raise PP_PRIM_BITS or shrink the scene)"
+    )
+    max_inst_enc = max_inst * 4 + 3
+    assert max_inst_enc < (1 << (31 - PP_PRIM_BITS)), (
+        f"instance encoding {max_inst_enc} overflows the packed hit record"
+    )
+
     return WideScene(
         wide_bounds=jnp.asarray(wb_all.reshape(-1)),
         wide_child=jnp.asarray(wc_all.reshape(-1)),
         wide_perm=jnp.asarray(perms.reshape(-1).astype(np.int32)),
         tri_rows=pscene.tri_rows,
         sph_rows=pscene.sph_rows,
+        tri_v0e=jnp.asarray(tri_v0e),
+        inst_w2o=jnp.asarray(inst_w2o),
         meta=tuple(meta),
         stack_cap=max(int(cap), 64),
         leaf_width=pscene.leaf_width,
@@ -280,6 +328,99 @@ DRAIN_UNROLL = 4  # leaves decoded+loaded per drain iteration (loads pipeline)
 
 _Q_MASK_SHIFT = 24  # leaf enc rides bits 0..23, subtile want mask above
 
+# closest-hit record packing: prim id in the low bits, instance encoding
+# (inst_id*4+kind) above. One i32 output ref carries what five (t, prim,
+# inst, bu, bv) refs used to: the drain's per-(leaf,subtile) fixed cost is
+# dominated by output-ref read/write roundtrips, not MT arithmetic
+# (measured: subtile gating halved drain VPU work, closest time was flat).
+# Barycentrics are recomputed OUTSIDE the kernel in an XLA epilogue -- a
+# per-lane gather of the winning triangle is exactly the data-dependent
+# access XLA does well and Pallas/TPU cannot.
+PP_PRIM_BITS = 20
+_PP_PRIM_MASK = (1 << PP_PRIM_BITS) - 1
+
+
+def _leaf_tri_test_pp(leaf_row, count, ox, oy, oz, dx, dy, dz,
+                      t_best, pp_best, inst_bits: int,
+                      leaf_width: int = WIDTH):
+    """MT test updating the packed (t, prim|inst) hit record.
+
+    Same accept predicate and test order as traverse_kernel._leaf_tri_test
+    (hit/t/prim results are bit-identical); only the bookkeeping differs:
+    one packed i32 carries prim + instance encoding, and bu/bv are not
+    tracked (the caller recomputes them in an XLA epilogue)."""
+    from ilgpu_raytracing_tpu.ops.pallas.traverse_kernel import (
+        TRI_STRIDE,
+        _vcell,
+    )
+
+    rows = ox.shape[0]
+    for j in range(leaf_width):
+        base = j * TRI_STRIDE
+        v0x, v0y, v0z = (_vcell(leaf_row, base + k, rows) for k in range(3))
+        e1x, e1y, e1z = (_vcell(leaf_row, base + 3 + k, rows) for k in range(3))
+        e2x, e2y, e2z = (_vcell(leaf_row, base + 6 + k, rows) for k in range(3))
+        prim_bits = _vcell(leaf_row, base + 9, rows)
+
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok = jnp.abs(det) >= 1e-8
+        inv_det = 1.0 / jnp.where(ok, det, 1.0)
+        tvx = ox - v0x
+        tvy = oy - v0y
+        tvz = oz - v0z
+        bu = (tvx * px + tvy * py + tvz * pz) * inv_det
+        ok = ok & (bu >= 0.0) & (bu <= 1.0)
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        bv = (dx * qx + dy * qy + dz * qz) * inv_det
+        ok = ok & (bv >= 0.0) & (bu + bv <= 1.0)
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok = ok & (t > T_EPS) & (t < t_best)
+        ok = ok & (j < count)
+        pp = prim_bits.astype(jnp.int32) + inst_bits
+        t_best = jnp.where(ok, t, t_best)
+        pp_best = jnp.where(ok, pp, pp_best)
+    return t_best, pp_best
+
+
+def _leaf_sph_test_pp(leaf_row, count, ox, oy, oz, dx, dy, dz,
+                      t_best, pp_best, inst_bits: int,
+                      leaf_width: int = WIDTH):
+    from ilgpu_raytracing_tpu.ops.pallas.traverse_kernel import (
+        SPH_STRIDE,
+        _vcell,
+    )
+
+    rows = ox.shape[0]
+    for j in range(leaf_width):
+        base = j * SPH_STRIDE
+        cx, cy, cz = (_vcell(leaf_row, base + k, rows) for k in range(3))
+        r = _vcell(leaf_row, base + 3, rows)
+        prim_bits = _vcell(leaf_row, base + 4, rows)
+        ocx = ox - cx
+        ocy = oy - cy
+        ocz = oz - cz
+        a = dx * dx + dy * dy + dz * dz
+        b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b * b - 4.0 * a * c
+        ok = disc >= 0.0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        inv2a = 1.0 / (2.0 * a)
+        t0 = (-b - sq) * inv2a
+        t1 = (-b + sq) * inv2a
+        t = jnp.where(t0 >= T_EPS, t0, t1)
+        ok = ok & (t >= T_EPS) & (t < t_best) & (r > 0.0)
+        ok = ok & (j < count)
+        pp = prim_bits.astype(jnp.int32) + inst_bits
+        t_best = jnp.where(ok, t, t_best)
+        pp_best = jnp.where(ok, pp, pp_best)
+    return t_best, pp_best
+
 
 def _make_closest_kernel(meta, tile_rows: int, front: int,
                          stack_cap: int = STACK_CAP,
@@ -291,15 +432,18 @@ def _make_closest_kernel(meta, tile_rows: int, front: int,
     # bounce packets most leaves are wanted by 1-2 of 4 subtiles, so this
     # cuts the dominant leaf-phase VPU cost toward the roofline's unions/2
     # band (BENCHLOG.md memo) while keeping the 4096-lane node-phase
-    # amortization. Hit state lives in the output refs so pl.when can
-    # update (8,128) slices in place; results are bit-identical (same test
-    # order, same accept predicate).
+    # amortization. Hit state lives in TWO output refs (t + packed
+    # prim|inst; round-2's five-ref record made the drain ref-roundtrip
+    # bound), so the drain pipelines DRAIN_UNROLL hoisted row loads like
+    # the shadow kernel without spilling. Hit/t/prim/inst results are
+    # bit-identical to the five-ref kernel (same test order, same accept
+    # predicate); bu/bv move to the caller's XLA epilogue.
     n_sub = tile_rows // SUB_ROWS if tile_rows % SUB_ROWS == 0 else 1
     sub_rows = tile_rows // n_sub
 
     def kernel(wc_ref, wb_ref, wp_ref, tri_ref, sph_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-               t_ref, prim_ref, inst_ref, bu_ref, bv_ref,
+               t_ref, pp_ref,
                *rest):
         if with_stats:
             stats_ref, stack_ref, queue_ref = rest
@@ -311,10 +455,7 @@ def _make_closest_kernel(meta, tile_rows: int, front: int,
         t_limit = tmax_ref[...]
 
         t_ref[...] = jnp.minimum(jnp.full(shape, T_INF, jnp.float32), t_limit)
-        prim_ref[...] = jnp.full(shape, -1, jnp.int32)
-        inst_ref[...] = jnp.full(shape, -1, jnp.int32)
-        bu_ref[...] = jnp.zeros(shape, jnp.float32)
-        bv_ref[...] = jnp.zeros(shape, jnp.float32)
+        pp_ref[...] = jnp.full(shape, -1, jnp.int32)
 
         # traversal counters (per packet): wide nodes popped, leaf rows
         # drained, vector->scalar sync rounds. Carried unconditionally
@@ -327,12 +468,13 @@ def _make_closest_kernel(meta, tile_rows: int, front: int,
 
         for kind, wide_root, w2o, wbounds, inst_id in meta:
             # instance id and BLAS kind ride together in the hit record:
-            # kernel-side the pair is one per-instance constant, so the
-            # caller decodes kind with shifts instead of a (N,) gather
-            # (measured 6.4 ms per trace at 901k lanes)
+            # kernel-side the pair is one per-instance constant packed above
+            # the prim bits, so the caller decodes kind with shifts instead
+            # of a (N,) gather (measured 6.4 ms per trace at 901k lanes)
             inst_enc = inst_id * 4 + (
                 KIND_TRI if kind == BLAS_TRI_MESH else KIND_SPHERE
             )
+            inst_bits = inst_enc << PP_PRIM_BITS
             if _is_identity(w2o):
                 ox, oy, oz, dx, dy, dz = wox, woy, woz, wdx, wdy, wdz
             else:
@@ -349,52 +491,59 @@ def _make_closest_kernel(meta, tile_rows: int, front: int,
             stack_ref[0] = jnp.int32(wide_root)
 
             def drain(n_q):
-                # per-leaf iteration: unrolling leaf loads here regresses
-                # (4 live rows x 5 output refs spill; measured 25->40 ms on
-                # primary) -- the shadow kernel, with one output ref, keeps
-                # the unrolled pipeline. enc >= 0 always: shift decode.
-                def leaf_body(q, carry):
-                    packed = queue_ref[q]
-                    sub = packed >> _Q_MASK_SHIFT
-                    enc = packed & ((1 << _Q_MASK_SHIFT) - 1)
-                    first = enc >> 4
-                    count = enc & 15
-                    if kind == BLAS_TRI_MESH:
-                        leaf_row = tri_ref[pl.ds(first, 1), :]
-                    else:
-                        leaf_row = sph_ref[pl.ds(first, 1), :]
-                    for s in range(n_sub):
+                # DRAIN_UNROLL leaves decoded + rows loaded up-front each
+                # iteration so the dependent VMEM loads pipeline (the shadow
+                # kernel's structure; with the two-ref packed record the
+                # closest drain no longer spills doing it -- the round-2
+                # five-ref version measured 25->40 ms on primary when
+                # unrolled). enc >= 0 always: shift decode. Invalid tail
+                # entries load sub=0 so every subtile gate skips them.
+                def leaf_body(qq, carry):
+                    q0 = qq * DRAIN_UNROLL
+                    loaded = []
+                    for u in range(DRAIN_UNROLL):
+                        qi = q0 + u
+                        valid = qi < n_q
+                        packed = queue_ref[jax.lax.select(
+                            valid, qi, jnp.int32(QUEUE_CAP + WIDTH * front)
+                        )]
+                        packed = jax.lax.select(valid, packed, jnp.int32(0))
+                        sub = packed >> _Q_MASK_SHIFT
+                        enc = packed & ((1 << _Q_MASK_SHIFT) - 1)
+                        first = enc >> 4
+                        count = enc & 15
+                        if kind == BLAS_TRI_MESH:
+                            leaf_row = tri_ref[pl.ds(first, 1), :]
+                        else:
+                            leaf_row = sph_ref[pl.ds(first, 1), :]
+                        loaded.append((sub, count, leaf_row))
+                    for sub, count, leaf_row in loaded:
+                      for s in range(n_sub):
                         @pl.when(((sub >> s) & 1) != 0)
-                        def _(s=s):
+                        def _(s=s, count=count, leaf_row=leaf_row):
                             sl = slice(s * sub_rows, (s + 1) * sub_rows)
                             t_b = t_ref[sl, :]
-                            p_b = prim_ref[sl, :]
+                            pp_b = pp_ref[sl, :]
                             if kind == BLAS_TRI_MESH:
-                                t_n, p_n, bu_n, bv_n = _leaf_tri_test(
+                                t_n, pp_n = _leaf_tri_test_pp(
                                     leaf_row, count,
                                     ox[sl], oy[sl], oz[sl],
                                     dx[sl], dy[sl], dz[sl],
-                                    t_b, p_b, bu_ref[sl, :], bv_ref[sl, :],
-                                    leaf_width,
+                                    t_b, pp_b, inst_bits, leaf_width,
                                 )
-                                bu_ref[sl, :] = bu_n
-                                bv_ref[sl, :] = bv_n
                             else:
-                                t_n, p_n = _leaf_sph_test(
+                                t_n, pp_n = _leaf_sph_test_pp(
                                     leaf_row, count,
                                     ox[sl], oy[sl], oz[sl],
                                     dx[sl], dy[sl], dz[sl],
-                                    t_b, p_b, leaf_width,
+                                    t_b, pp_b, inst_bits, leaf_width,
                                 )
-                            took = t_n < t_b
                             t_ref[sl, :] = t_n
-                            prim_ref[sl, :] = p_n
-                            inst_ref[sl, :] = jnp.where(
-                                took, inst_enc, inst_ref[sl, :]
-                            )
+                            pp_ref[sl, :] = pp_n
                     return carry
 
-                return lax.fori_loop(0, n_q, leaf_body, jnp.int32(0))
+                n_grp = (n_q + DRAIN_UNROLL - 1) // DRAIN_UNROLL
+                return lax.fori_loop(0, n_grp, leaf_body, jnp.int32(0))
 
             def seg_cond(c):
                 return c[0] > 0
@@ -755,7 +904,8 @@ def _pad_tiles(x, tile_rows, n):
 def _run_trace(arrays, meta, o, d, t_max, interpret=False,
                tile_rows=TILE_ROWS, front=FRONT, stack_cap=STACK_CAP,
                leaf_width=WIDTH, with_stats=False):
-    wide_child, wide_bounds, wide_perm, tri_rows, sph_rows = arrays
+    (wide_child, wide_bounds, wide_perm, tri_rows, sph_rows,
+     tri_v0e, inst_w2o) = arrays
     n = o.shape[0]
     ox, g = _pad_tiles(o[:, 0], tile_rows, n)
     oy, _ = _pad_tiles(o[:, 1], tile_rows, n)
@@ -776,11 +926,8 @@ def _run_trace(arrays, meta, o, d, t_max, interpret=False,
     out_shape = [
         jax.ShapeDtypeStruct(shp, jnp.float32),
         jax.ShapeDtypeStruct(shp, jnp.int32),
-        jax.ShapeDtypeStruct(shp, jnp.int32),
-        jax.ShapeDtypeStruct(shp, jnp.float32),
-        jax.ShapeDtypeStruct(shp, jnp.float32),
     ]
-    out_specs = [ray_spec] * 5
+    out_specs = [ray_spec] * 2
     if with_stats:
         out_shape.append(jax.ShapeDtypeStruct((g, 4), jnp.int32))
         # full-array SMEM output indexed by program_id (a (1,4) block fails
@@ -802,12 +949,43 @@ def _run_trace(arrays, meta, o, d, t_max, interpret=False,
         interpret=interpret,
     )(wide_child, wide_bounds, wide_perm, tri_rows, sph_rows,
       ox, oy, oz, dx, dy, dz, tm)
-    t, prim, inst, bu, bv = res[:5]
+    t, pp = res[0].reshape(-1)[:n], res[1].reshape(-1)[:n]
 
-    flat = lambda x: x.reshape(-1)[:n]
-    out = (flat(t), flat(prim), flat(inst), flat(bu), flat(bv))
+    # decode the packed record and recompute barycentrics in XLA: a gather
+    # of the winning triangle per lane + one Moller-Trumbore evaluation in
+    # object space. This is the per-lane data-dependent access the kernel
+    # cannot do (SMEM/VMEM table lookups cap at ~1k entries on TPU) and XLA
+    # does at HBM bandwidth; it costs ~1 HBM pass over the ray batch vs the
+    # three output refs it removes from every drain update in the kernel.
+    miss = pp < 0
+    prim = jnp.where(miss, -1, pp & _PP_PRIM_MASK)
+    inst = jnp.where(miss, -1, pp >> PP_PRIM_BITS)
+    tri_hit = (~miss) & ((inst & 3) == KIND_TRI)
+    idx = jnp.where(tri_hit, prim, 0)
+    rows9 = jnp.take(tri_v0e, idx, axis=0)
+    m12 = jnp.take(inst_w2o, jnp.where(tri_hit, inst >> 2, 0), axis=0)
+    # affine rows are (r0x r0y r0z tx r1x r1y r1z ty r2x r2y r2z tz)
+    ox3, oy3, oz3 = o[:, 0], o[:, 1], o[:, 2]
+    dx3, dy3, dz3 = d[:, 0], d[:, 1], d[:, 2]
+    o_obj = jnp.stack([
+        m12[:, 0] * ox3 + m12[:, 1] * oy3 + m12[:, 2] * oz3 + m12[:, 3],
+        m12[:, 4] * ox3 + m12[:, 5] * oy3 + m12[:, 6] * oz3 + m12[:, 7],
+        m12[:, 8] * ox3 + m12[:, 9] * oy3 + m12[:, 10] * oz3 + m12[:, 11],
+    ], axis=-1)
+    d_obj = jnp.stack([
+        m12[:, 0] * dx3 + m12[:, 1] * dy3 + m12[:, 2] * dz3,
+        m12[:, 4] * dx3 + m12[:, 5] * dy3 + m12[:, 6] * dz3,
+        m12[:, 8] * dx3 + m12[:, 9] * dy3 + m12[:, 10] * dz3,
+    ], axis=-1)
+    _ok, _t2, bu, bv = intersect_triangle(
+        o_obj, d_obj, rows9[:, 0:3], rows9[:, 3:6], rows9[:, 6:9]
+    )
+    bu = jnp.where(tri_hit, bu, 0.0)
+    bv = jnp.where(tri_hit, bv, 0.0)
+
+    out = (t, prim, inst, bu, bv)
     if with_stats:
-        return out + (res[5],)
+        return out + (res[2],)
     return out
 
 
@@ -819,7 +997,7 @@ def _run_trace(arrays, meta, o, d, t_max, interpret=False,
 def _run_shadow(arrays, meta, o, d, t_max, interpret=False,
                 tile_rows=TILE_ROWS, front=FRONT, stack_cap=STACK_CAP,
                 leaf_width=WIDTH):
-    wide_child, wide_bounds, wide_perm, tri_rows, sph_rows = arrays
+    wide_child, wide_bounds, wide_perm, tri_rows, sph_rows = arrays[:5]
     n = o.shape[0]
     ox, g = _pad_tiles(o[:, 0], tile_rows, n)
     oy, _ = _pad_tiles(o[:, 1], tile_rows, n)
@@ -893,6 +1071,7 @@ def _arrays(wscene: WideScene):
     return (
         wscene.wide_child, wscene.wide_bounds, wscene.wide_perm,
         wscene.tri_rows, wscene.sph_rows,
+        wscene.tri_v0e, wscene.inst_w2o,
     )
 
 

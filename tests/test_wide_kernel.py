@@ -108,3 +108,47 @@ def test_stack_bound_and_front_scratch_sizing():
     np.testing.assert_allclose(
         np.asarray(got.t)[hit], np.asarray(ref.t)[hit], rtol=1e-4, atol=1e-5
     )
+
+
+def test_wide_bary_epilogue_matches_oracle():
+    """bu/bv are recomputed outside the kernel (XLA gather + MT epilogue on
+    the packed two-ref hit record); they must match the XLA oracle exactly
+    on lanes where both agree on the winning primitive, and stay zero on
+    sphere hits and misses."""
+    for builder, camf in (
+        (lambda: build_cornell_scene(tess=4, sphere_tess=(8, 12))[1],
+         lambda: cornell_camera(64, 48)),
+        (lambda: build_default_scene(single_instance=False)[1],
+         lambda: Camera.create(64, 48)),
+    ):
+        scene = builder()
+        ws = wk.prepare_wide(tk.prepare(scene))
+        cam = camf()
+        o, d = rays.generate_primary_rays(cam, 64, 48)
+        h_ref = traverse.trace_closest(scene, o, d)
+        h_w = wk.trace_closest_wide(ws, o, d, interpret=True)
+        same = (
+            np.asarray(h_ref.hit)
+            & np.asarray(h_w.hit)
+            & (np.asarray(h_ref.prim) == np.asarray(h_w.prim))
+            & (np.asarray(h_ref.kind) == np.asarray(h_w.kind))
+            & (np.asarray(h_ref.inst) == np.asarray(h_w.inst))
+        )
+        tri = same & (np.asarray(h_ref.kind) == traverse.KIND_TRI)
+        if tri.any():
+            np.testing.assert_allclose(
+                np.asarray(h_w.bu)[tri], np.asarray(h_ref.bu)[tri],
+                rtol=0, atol=1e-6,
+            )
+            np.testing.assert_allclose(
+                np.asarray(h_w.bv)[tri], np.asarray(h_ref.bv)[tri],
+                rtol=0, atol=1e-6,
+            )
+        # zero-bary contract is on the RECORDED primitive (a lane can carry
+        # a recorded near-degenerate hit with t >= T_HIT_MAX whose .hit is
+        # False -- same as the five-ref kernel and the oracle)
+        rec_tri = (np.asarray(h_w.prim) >= 0) & (
+            np.asarray(h_w.kind) == traverse.KIND_TRI
+        )
+        np.testing.assert_array_equal(np.asarray(h_w.bu)[~rec_tri], 0.0)
+        np.testing.assert_array_equal(np.asarray(h_w.bv)[~rec_tri], 0.0)

@@ -40,7 +40,11 @@ from ilgpu_raytracing_tpu.models.scene import (
     BLAS_TRI_MESH,
     SceneData,
 )
-from ilgpu_raytracing_tpu.ops.intersect import T_EPS, T_INF
+from ilgpu_raytracing_tpu.ops.intersect import (
+    T_EPS,  # noqa: F401 (re-exported for kernel-variant experiments)
+    T_INF,
+    intersect_triangle,
+)
 from ilgpu_raytracing_tpu.ops.traverse import KIND_SPHERE, KIND_TRI, HitRecord
 from ilgpu_raytracing_tpu.ops.pallas.traverse_kernel import (
     _LANES,
@@ -49,8 +53,6 @@ from ilgpu_raytracing_tpu.ops.pallas.traverse_kernel import (
     SPH_STRIDE,
     _inv,
     _is_identity,
-    _leaf_sph_test,
-    _leaf_tri_test,
     _transform,
 )
 from ilgpu_raytracing_tpu.ops.pallas.wide_kernel import (
@@ -60,7 +62,9 @@ from ilgpu_raytracing_tpu.ops.pallas.wide_kernel import (
     _child_slab,
     _instance_enter,
     _leaf_sph_anyhit,
+    _leaf_sph_test_pp,
     _leaf_tri_anyhit,
+    _leaf_tri_test_pp,
     _octant_perms,
     _packet_octant,
     WIDTH,
@@ -74,6 +78,20 @@ ROWS_PER_LEAF = 16  # 128 tris per leaf = one 8 KB DMA burst
 
 # leaf encoding: 5 bits of row count (1..16), row index above
 _ENC_BASE = 32
+
+# queue entries carry the leaf encoding in bits 0..24 and a per-(8,128)
+# subtile want mask above (wide_kernel's subtile-gated drain, ported):
+# the drain tests ONLY subtiles whose child-slab test wanted the leaf.
+_SQ_MASK_SHIFT = 25
+_SQ_ENC_MASK = (1 << _SQ_MASK_SHIFT) - 1
+SUB_ROWS = 8  # one native (8,128) vreg per subtile
+
+# closest-hit record packing (wide_kernel's two-ref record, ported): prim
+# id in the low bits, instance encoding above; barycentrics recomputed in
+# an XLA epilogue against the winning triangle. Stream scenes reach 4M
+# tris, so the prim field is wider than wide_kernel's.
+SPP_PRIM_BITS = 23
+_SPP_PRIM_MASK = (1 << SPP_PRIM_BITS) - 1
 
 
 def _leaf_enc(first_row: int, n_rows: int) -> int:
@@ -91,6 +109,13 @@ class StreamScene:
     tri_rows: jnp.ndarray  # (Lt, 128) f32, HBM (memory_space=ANY) --
     # or VMEM when `resident` (small scenes with coarse leaves)
     sph_rows: jnp.ndarray  # (Ls, 128) f32, VMEM
+    # HBM tables for the barycentric epilogue (see wide_kernel): per-prim
+    # object-space v0/e1/e2 (aliases of the SceneData arrays -- no host
+    # copy) and per-instance world->object affines
+    tri_v0: jnp.ndarray = None  # (T, 3) f32
+    tri_e1: jnp.ndarray = None  # (T, 3) f32
+    tri_e2: jnp.ndarray = None  # (T, 3) f32
+    inst_w2o: jnp.ndarray = None  # (I, 12) f32
     meta: tuple = struct.field(pytree_node=False, default=())
     resident: bool = struct.field(pytree_node=False, default=False)
     # static max rows of any leaf (drain unrolls exactly this many)
@@ -286,12 +311,38 @@ def prepare_stream(scene: SceneData, resident: bool = False) -> StreamScene:
     def rows_or_dummy(rows):
         return np.stack(rows) if rows else np.zeros((1, _LANES), np.float32)
 
+    # packed-record bounds: prim ids must fit SPP_PRIM_BITS, leaf encodings
+    # must fit below the queue's submask bits, instance encodings above the
+    # prim field
+    n_prims = max(int(scene.tri_v0.shape[0]), int(scene.sph_center.shape[0]))
+    assert n_prims <= (1 << SPP_PRIM_BITS), (
+        f"{n_prims} primitives overflow the {SPP_PRIM_BITS}-bit packed hit "
+        f"record"
+    )
+    max_inst = max((m[4] for m in meta), default=0)
+    assert max_inst * 4 + 3 < (1 << (31 - SPP_PRIM_BITS)), (
+        f"instance id {max_inst} overflows the packed hit record"
+    )
+    assert (total_rows + ROWS_PER_LEAF) * _ENC_BASE < (1 << _SQ_MASK_SHIFT), (
+        f"{total_rows} leaf rows overflow the queue's leaf encoding bits"
+    )
+    inst_w2o = np.tile(
+        np.array([1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0], np.float32),
+        (max_inst + 1, 1),
+    )
+    for kind, _wid, w2o, _wb, inst_id in meta:
+        inst_w2o[inst_id] = np.asarray(w2o, np.float32)
+
     return StreamScene(
         wide_bounds=jnp.asarray(wb_all.reshape(-1)),
         wide_child=jnp.asarray(wc_all.reshape(-1)),
         wide_perm=jnp.asarray(perms.reshape(-1).astype(np.int32)),
         tri_rows=jnp.asarray(tri),
         sph_rows=jnp.asarray(rows_or_dummy(sph_rows)),
+        tri_v0=jnp.asarray(scene.tri_v0, jnp.float32),
+        tri_e1=jnp.asarray(scene.tri_e1, jnp.float32),
+        tri_e2=jnp.asarray(scene.tri_e2, jnp.float32),
+        inst_w2o=jnp.asarray(inst_w2o),
         meta=tuple(meta),
         resident=resident,
         rows_per_leaf=max_rows,
@@ -301,9 +352,12 @@ def prepare_stream(scene: SceneData, resident: bool = False) -> StreamScene:
 
 def _walk_segment(wc_ref, wb_ref, wp_ref, stack_ref, queue_ref, octant,
                   front, sp, t_b, ox, oy, oz, ix, iy, iz, open_mask,
-                  stack_cap=STACK_CAP):
+                  stack_cap=STACK_CAP, n_sub: int = 1):
     """One frontier round: pop up to `front` wide nodes, push/queue children
-    near-first. Shared by closest and shadow kernels."""
+    near-first. Shared by closest and shadow kernels. Queued leaves carry a
+    per-subtile want mask in bits >= _SQ_MASK_SHIFT (the per-subtile anys
+    pipeline with the full-tile any, so the mask is ~free)."""
+    sub_rows = ox.shape[0] // n_sub
 
     def walk_cond(w):
         return (w[0] > 0) & (w[1] < QUEUE_CAP)
@@ -329,7 +383,14 @@ def _walk_segment(wc_ref, wb_ref, wp_ref, stack_ref, queue_ref, octant,
                 )
                 if open_mask is not None:
                     mask = mask & open_mask
-                hit = jnp.any(mask) & (child != _EMPTY) & has
+                wants = [
+                    jnp.any(mask[s * sub_rows:(s + 1) * sub_rows, :])
+                    for s in range(n_sub)
+                ]
+                any_w = wants[0]
+                for wnt in wants[1:]:
+                    any_w = any_w | wnt
+                hit = any_w & (child != _EMPTY) & has
                 is_inner = child >= 0
                 do_push = hit & is_inner
                 slot = jax.lax.select(do_push, sp, jnp.int32(stack_cap))
@@ -339,7 +400,12 @@ def _walk_segment(wc_ref, wb_ref, wp_ref, stack_ref, queue_ref, octant,
                 qslot = jax.lax.select(
                     do_q, n_q, jnp.int32(QUEUE_CAP + WIDTH * front)
                 )
-                queue_ref[qslot] = -child - 2
+                submask = jnp.int32(0)
+                for s, wnt in enumerate(wants):
+                    submask = submask + jax.lax.select(
+                        wnt, jnp.int32(1 << s), jnp.int32(0)
+                    )
+                queue_ref[qslot] = (-child - 2) + (submask << _SQ_MASK_SHIFT)
                 n_q = n_q + jax.lax.select(do_q, 1, 0)
         return sp, n_q
 
@@ -351,7 +417,7 @@ def _start_dma(tri_hbm, buf_ref, sem, queue_ref, q, n_q, slot, rows):
 
     @pl.when(q < n_q)
     def _():
-        packed = queue_ref[q]
+        packed = queue_ref[q] & _SQ_ENC_MASK
         first = packed // _ENC_BASE
         pltpu.make_async_copy(
             tri_hbm.at[pl.ds(first, rows), :],
@@ -361,7 +427,7 @@ def _start_dma(tri_hbm, buf_ref, sem, queue_ref, q, n_q, slot, rows):
 
 
 def _wait_dma(tri_hbm, buf_ref, sem, queue_ref, q, slot, rows):
-    packed = queue_ref[q]
+    packed = queue_ref[q] & _SQ_ENC_MASK
     first = packed // _ENC_BASE
     pltpu.make_async_copy(
         tri_hbm.at[pl.ds(first, rows), :],
@@ -374,26 +440,36 @@ def _make_closest_kernel(meta, tile_rows: int, front: int,
                          resident: bool = False,
                          rows_per_leaf: int = ROWS_PER_LEAF,
                          stack_cap: int = STACK_CAP):
+    # hit state lives in TWO output refs (t + packed prim|inst, the wide
+    # kernel's record) instead of five (32,128) loop carries: pl.when can
+    # then update only the (8,128) subtiles whose walk-time slab test
+    # wanted each leaf (most coarse leaves are wanted by 1-2 of 4 subtiles
+    # on sorted bounce packets), and the 16-row unrolled drain loop stops
+    # carrying 20 vregs of hit state. bu/bv are recomputed by the caller's
+    # XLA epilogue. Hit/t/prim/inst results are bit-identical: a subtile
+    # whose slab test failed at segment-start t cannot contain an accepted
+    # hit (t only shrinks), and the per-row test order is unchanged.
+    n_sub = tile_rows // SUB_ROWS if tile_rows % SUB_ROWS == 0 else 1
+    sub_rows = tile_rows // n_sub
+
     def kernel(wc_ref, wb_ref, wp_ref, tri_hbm, sph_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-               t_ref, prim_ref, inst_ref, bu_ref, bv_ref,
+               t_ref, pp_ref,
                stack_ref, queue_ref, buf_ref, sem):
         shape = ox_ref.shape
         wox, woy, woz = ox_ref[...], oy_ref[...], oz_ref[...]
         wdx, wdy, wdz = dx_ref[...], dy_ref[...], dz_ref[...]
         t_limit = tmax_ref[...]
 
-        t_best = jnp.minimum(jnp.full(shape, T_INF, jnp.float32), t_limit)
-        prim_best = jnp.full(shape, -1, jnp.int32)
-        inst_best = jnp.full(shape, -1, jnp.int32)
-        bu_best = jnp.zeros(shape, jnp.float32)
-        bv_best = jnp.zeros(shape, jnp.float32)
+        t_ref[...] = jnp.minimum(jnp.full(shape, T_INF, jnp.float32), t_limit)
+        pp_ref[...] = jnp.full(shape, -1, jnp.int32)
 
         for kind, wide_root, w2o, wbounds, inst_id in meta:
             # inst id + kind as one constant; caller decodes with shifts
             inst_enc = inst_id * 4 + (
                 KIND_TRI if kind == BLAS_TRI_MESH else KIND_SPHERE
             )
+            inst_bits = inst_enc << SPP_PRIM_BITS
             if _is_identity(w2o):
                 ox, oy, oz, dx, dy, dz = wox, woy, woz, wdx, wdy, wdz
             else:
@@ -403,21 +479,40 @@ def _make_closest_kernel(meta, tile_rows: int, front: int,
             ix, iy, iz = _inv(dx), _inv(dy), _inv(dz)
             wix, wiy, wiz = _inv(wdx), _inv(wdy), _inv(wdz)
             enter = _instance_enter(
-                wbounds, wox, woy, woz, wix, wiy, wiz, t_best
+                wbounds, wox, woy, woz, wix, wiy, wiz, t_ref[...]
             )
             octant = _packet_octant(dx, dy, dz)
             sp0 = jax.lax.select(jnp.any(enter), jnp.int32(1), jnp.int32(0))
             stack_ref[0] = jnp.int32(wide_root)
 
-            def drain_tri(n_q, t_b, p_b, i_b, bu_b, bv_b):
+            def sub_update(sub, leaf_row, cnt, tri: bool):
+                for s in range(n_sub):
+                    @pl.when(((sub >> s) & 1) != 0)
+                    def _(s=s, leaf_row=leaf_row, cnt=cnt):
+                        sl = slice(s * sub_rows, (s + 1) * sub_rows)
+                        t_b = t_ref[sl, :]
+                        pp_b = pp_ref[sl, :]
+                        test = _leaf_tri_test_pp if tri else _leaf_sph_test_pp
+                        t_n, pp_n = test(
+                            leaf_row, cnt,
+                            ox[sl], oy[sl], oz[sl],
+                            dx[sl], dy[sl], dz[sl],
+                            t_b, pp_b, inst_bits, LEAF_WIDTH,
+                        )
+                        t_ref[sl, :] = t_n
+                        pp_ref[sl, :] = pp_n
+
+            def drain_tri(n_q):
                 if not resident:
                     _start_dma(tri_hbm, buf_ref, sem, queue_ref,
                                jnp.int32(0), n_q, jnp.int32(0),
                                rows_per_leaf)
 
                 def leaf_body(q, carry):
-                    t_b, p_b, i_b, bu_b, bv_b = carry
-                    first = queue_ref[q] // _ENC_BASE
+                    packed = queue_ref[q]
+                    sub = packed >> _SQ_MASK_SHIFT
+                    enc = packed & _SQ_ENC_MASK
+                    first = enc // _ENC_BASE
                     slot = q % 2
                     if not resident:
                         _wait_dma(tri_hbm, buf_ref, sem, queue_ref, q, slot,
@@ -425,7 +520,7 @@ def _make_closest_kernel(meta, tile_rows: int, front: int,
                         _start_dma(tri_hbm, buf_ref, sem, queue_ref,
                                    q + 1, n_q, (q + 1) % 2,
                                    rows_per_leaf)
-                    n_rows = queue_ref[q] % _ENC_BASE
+                    n_rows = enc % _ENC_BASE
                     for r in range(rows_per_leaf):
                         if resident:
                             leaf_row = tri_hbm[pl.ds(first + r, 1), :]
@@ -434,67 +529,40 @@ def _make_closest_kernel(meta, tile_rows: int, front: int,
                         cnt = jax.lax.select(
                             r < n_rows, jnp.int32(LEAF_WIDTH), jnp.int32(0)
                         )
-                        t_n, p_n, bu_n, bv_n = _leaf_tri_test(
-                            leaf_row, cnt, ox, oy, oz, dx, dy, dz,
-                            t_b, p_b, bu_b, bv_b,
-                        )
-                        took = t_n < t_b
-                        i_b = jnp.where(took, inst_enc, i_b)
-                        t_b, p_b, bu_b, bv_b = t_n, p_n, bu_n, bv_n
-                    return t_b, p_b, i_b, bu_b, bv_b
+                        sub_update(sub, leaf_row, cnt, tri=True)
+                    return carry
 
-                return lax.fori_loop(
-                    0, n_q, leaf_body, (t_b, p_b, i_b, bu_b, bv_b)
-                )
+                return lax.fori_loop(0, n_q, leaf_body, jnp.int32(0))
 
-            def drain_sph(n_q, t_b, p_b, i_b, bu_b, bv_b):
+            def drain_sph(n_q):
                 def leaf_body(q, carry):
-                    t_b, p_b, i_b, bu_b, bv_b = carry
-                    first = queue_ref[q] // _ENC_BASE
+                    packed = queue_ref[q]
+                    sub = packed >> _SQ_MASK_SHIFT
+                    first = (packed & _SQ_ENC_MASK) // _ENC_BASE
                     leaf_row = sph_ref[pl.ds(first, 1), :]
-                    t_n, p_n = _leaf_sph_test(
-                        leaf_row, LEAF_WIDTH, ox, oy, oz, dx, dy, dz, t_b, p_b
-                    )
-                    took = t_n < t_b
-                    return (
-                        t_n, p_n, jnp.where(took, inst_enc, i_b), bu_b, bv_b
-                    )
+                    sub_update(sub, leaf_row, jnp.int32(LEAF_WIDTH),
+                               tri=False)
+                    return carry
 
-                return lax.fori_loop(
-                    0, n_q, leaf_body, (t_b, p_b, i_b, bu_b, bv_b)
-                )
+                return lax.fori_loop(0, n_q, leaf_body, jnp.int32(0))
 
-            def seg_cond(c):
-                return c[0] > 0
+            def seg_cond(sp):
+                return sp > 0
 
-            def seg_body(c):
-                sp, t_b, p_b, i_b, bu_b, bv_b = c
+            def seg_body(sp):
+                t_b = t_ref[...]  # tightened by the previous segment
                 sp, n_q = _walk_segment(
                     wc_ref, wb_ref, wp_ref, stack_ref, queue_ref, octant,
                     front, sp, t_b, ox, oy, oz, ix, iy, iz, None,
-                    stack_cap,
+                    stack_cap, n_sub,
                 )
                 if kind == BLAS_TRI_MESH:
-                    t_b, p_b, i_b, bu_b, bv_b = drain_tri(
-                        n_q, t_b, p_b, i_b, bu_b, bv_b
-                    )
+                    drain_tri(n_q)
                 else:
-                    t_b, p_b, i_b, bu_b, bv_b = drain_sph(
-                        n_q, t_b, p_b, i_b, bu_b, bv_b
-                    )
-                return sp, t_b, p_b, i_b, bu_b, bv_b
+                    drain_sph(n_q)
+                return sp
 
-            out = lax.while_loop(
-                seg_cond, seg_body,
-                (sp0, t_best, prim_best, inst_best, bu_best, bv_best),
-            )
-            _, t_best, prim_best, inst_best, bu_best, bv_best = out
-
-        t_ref[...] = t_best
-        prim_ref[...] = prim_best
-        inst_ref[...] = inst_best
-        bu_ref[...] = bu_best
-        bv_ref[...] = bv_best
+            lax.while_loop(seg_cond, seg_body, sp0)
 
     return kernel
 
@@ -538,7 +606,8 @@ def _make_shadow_kernel(meta, tile_rows: int, front: int,
                                rows_per_leaf)
 
                 def leaf_body(q, occ):
-                    first = queue_ref[q] // _ENC_BASE
+                    enc = queue_ref[q] & _SQ_ENC_MASK
+                    first = enc // _ENC_BASE
                     slot = q % 2
                     if not resident:
                         _wait_dma(tri_hbm, buf_ref, sem, queue_ref, q, slot,
@@ -546,7 +615,7 @@ def _make_shadow_kernel(meta, tile_rows: int, front: int,
                         _start_dma(tri_hbm, buf_ref, sem, queue_ref,
                                    q + 1, n_q, (q + 1) % 2,
                                    rows_per_leaf)
-                    n_rows = queue_ref[q] % _ENC_BASE
+                    n_rows = enc % _ENC_BASE
                     for r in range(rows_per_leaf):
                         if resident:
                             leaf_row = tri_hbm[pl.ds(first + r, 1), :]
@@ -565,7 +634,7 @@ def _make_shadow_kernel(meta, tile_rows: int, front: int,
 
             def drain_sph(n_q, occ):
                 def leaf_body(q, occ):
-                    first = queue_ref[q] // _ENC_BASE
+                    first = (queue_ref[q] & _SQ_ENC_MASK) // _ENC_BASE
                     leaf_row = sph_ref[pl.ds(first, 1), :]
                     return _leaf_sph_anyhit(
                         leaf_row, LEAF_WIDTH, ox, oy, oz, dx, dy, dz,
@@ -636,7 +705,8 @@ def _common_specs(tile_rows, resident: bool, front: int = FRONT,
 def _run_trace(arrays, meta, o, d, t_max, interpret=False,
                tile_rows=TILE_ROWS, front=FRONT, resident=False,
                rows_per_leaf=ROWS_PER_LEAF, stack_cap=STACK_CAP):
-    wide_child, wide_bounds, wide_perm, tri_rows, sph_rows = arrays
+    (wide_child, wide_bounds, wide_perm, tri_rows, sph_rows,
+     tri_v0, tri_e1, tri_e2, inst_w2o) = arrays
     n = o.shape[0]
     ox, g = _pad_tiles(o[:, 0], tile_rows, n)
     oy, _ = _pad_tiles(o[:, 1], tile_rows, n)
@@ -655,25 +725,52 @@ def _run_trace(arrays, meta, o, d, t_max, interpret=False,
     out_shape = [
         jax.ShapeDtypeStruct(shp, jnp.float32),
         jax.ShapeDtypeStruct(shp, jnp.int32),
-        jax.ShapeDtypeStruct(shp, jnp.int32),
-        jax.ShapeDtypeStruct(shp, jnp.float32),
-        jax.ShapeDtypeStruct(shp, jnp.float32),
     ]
-    t, prim, inst, bu, bv = pl.pallas_call(
+    t, pp = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(g,),
             in_specs=[hbm, vmem] + [ray_spec] * 7,
-            out_specs=[ray_spec] * 5,
+            out_specs=[ray_spec] * 2,
             scratch_shapes=scratch,
         ),
         interpret=interpret,
     )(wide_child, wide_bounds, wide_perm, tri_rows, sph_rows,
       ox, oy, oz, dx, dy, dz, tm)
-    flat = lambda x: x.reshape(-1)[:n]
-    return flat(t), flat(prim), flat(inst), flat(bu), flat(bv)
+    t = t.reshape(-1)[:n]
+    pp = pp.reshape(-1)[:n]
+
+    # barycentric epilogue (see wide_kernel._run_trace): decode the packed
+    # record and recompute bu/bv for recorded triangle hits with one XLA
+    # gather of the winning triangle + a Moller-Trumbore evaluation in
+    # object space.
+    miss = pp < 0
+    prim = jnp.where(miss, -1, pp & _SPP_PRIM_MASK)
+    inst = jnp.where(miss, -1, pp >> SPP_PRIM_BITS)
+    tri_hit = (~miss) & ((inst & 3) == KIND_TRI)
+    idx = jnp.where(tri_hit, prim, 0)
+    v0 = jnp.take(tri_v0, idx, axis=0)
+    e1 = jnp.take(tri_e1, idx, axis=0)
+    e2 = jnp.take(tri_e2, idx, axis=0)
+    m12 = jnp.take(inst_w2o, jnp.where(tri_hit, inst >> 2, 0), axis=0)
+    ox3, oy3, oz3 = o[:, 0], o[:, 1], o[:, 2]
+    dx3, dy3, dz3 = d[:, 0], d[:, 1], d[:, 2]
+    o_obj = jnp.stack([
+        m12[:, 0] * ox3 + m12[:, 1] * oy3 + m12[:, 2] * oz3 + m12[:, 3],
+        m12[:, 4] * ox3 + m12[:, 5] * oy3 + m12[:, 6] * oz3 + m12[:, 7],
+        m12[:, 8] * ox3 + m12[:, 9] * oy3 + m12[:, 10] * oz3 + m12[:, 11],
+    ], axis=-1)
+    d_obj = jnp.stack([
+        m12[:, 0] * dx3 + m12[:, 1] * dy3 + m12[:, 2] * dz3,
+        m12[:, 4] * dx3 + m12[:, 5] * dy3 + m12[:, 6] * dz3,
+        m12[:, 8] * dx3 + m12[:, 9] * dy3 + m12[:, 10] * dz3,
+    ], axis=-1)
+    _ok, _t2, bu, bv = intersect_triangle(o_obj, d_obj, v0, e1, e2)
+    bu = jnp.where(tri_hit, bu, 0.0)
+    bv = jnp.where(tri_hit, bv, 0.0)
+    return t, prim, inst, bu, bv
 
 
 @functools.partial(
@@ -684,7 +781,7 @@ def _run_trace(arrays, meta, o, d, t_max, interpret=False,
 def _run_shadow(arrays, meta, o, d, t_max, interpret=False,
                 tile_rows=TILE_ROWS, front=FRONT, resident=False,
                 rows_per_leaf=ROWS_PER_LEAF, stack_cap=STACK_CAP):
-    wide_child, wide_bounds, wide_perm, tri_rows, sph_rows = arrays
+    wide_child, wide_bounds, wide_perm, tri_rows, sph_rows = arrays[:5]
     n = o.shape[0]
     ox, g = _pad_tiles(o[:, 0], tile_rows, n)
     oy, _ = _pad_tiles(o[:, 1], tile_rows, n)
@@ -717,7 +814,8 @@ def _run_shadow(arrays, meta, o, d, t_max, interpret=False,
 
 
 def _arrays(s: StreamScene):
-    return (s.wide_child, s.wide_bounds, s.wide_perm, s.tri_rows, s.sph_rows)
+    return (s.wide_child, s.wide_bounds, s.wide_perm, s.tri_rows, s.sph_rows,
+            s.tri_v0, s.tri_e1, s.tri_e2, s.inst_w2o)
 
 
 def trace_closest_stream(

@@ -1048,7 +1048,7 @@ def _shard_ray_op(mesh, run, n_out: int, o, d, t_max):
     rays, so there are no collectives inside; scene replication is the
     sharding design of SURVEY.md's parallelism axis (image-space data
     parallel)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # experimental.shard_map removed in jax 0.8+
     from jax.sharding import PartitionSpec as P
 
     n = o.shape[0]
@@ -1062,7 +1062,7 @@ def _shard_ray_op(mesh, run, n_out: int, o, d, t_max):
         run, mesh=mesh,
         in_specs=(P("px"), P("px"), P("px")),
         out_specs=(P("px"),) * n_out,
-        check_rep=False,
+        check_vma=False,
     )(o, d, t_max)
     return tuple(x[:n] for x in out)
 

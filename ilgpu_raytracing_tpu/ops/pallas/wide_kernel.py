@@ -425,7 +425,10 @@ def _leaf_sph_test_pp(leaf_row, count, ox, oy, oz, dx, dy, dz,
 def _make_closest_kernel(meta, tile_rows: int, front: int,
                          stack_cap: int = STACK_CAP,
                          leaf_width: int = WIDTH,
-                         with_stats: bool = False):
+                         with_stats: bool = False,
+                         drain_unroll: int | None = None):
+    if drain_unroll is None:
+        drain_unroll = DRAIN_UNROLL
     # subtile-gated leaf drain: the tile splits into (8,128) subtiles; each
     # queued leaf carries a per-subtile want mask (from the child slab test)
     # and the drain MT-tests ONLY wanting subtiles. On incoherent sorted
@@ -499,9 +502,9 @@ def _make_closest_kernel(meta, tile_rows: int, front: int,
                 # unrolled). enc >= 0 always: shift decode. Invalid tail
                 # entries load sub=0 so every subtile gate skips them.
                 def leaf_body(qq, carry):
-                    q0 = qq * DRAIN_UNROLL
+                    q0 = qq * drain_unroll
                     loaded = []
-                    for u in range(DRAIN_UNROLL):
+                    for u in range(drain_unroll):
                         qi = q0 + u
                         valid = qi < n_q
                         packed = queue_ref[jax.lax.select(
@@ -542,16 +545,10 @@ def _make_closest_kernel(meta, tile_rows: int, front: int,
                             pp_ref[sl, :] = pp_n
                     return carry
 
-                n_grp = (n_q + DRAIN_UNROLL - 1) // DRAIN_UNROLL
+                n_grp = (n_q + drain_unroll - 1) // drain_unroll
                 return lax.fori_loop(0, n_grp, leaf_body, jnp.int32(0))
 
-            def seg_cond(c):
-                return c[0] > 0
-
-            def seg_body(c):
-                sp, nn, lv, rd, sm = c
-                t_b = t_ref[...]  # tightened by the previous segment's drain
-
+            def walk_segment(sp, t_b, nn, rd, sm):
                 def walk_cond(w):
                     return (w[0] > 0) & (w[1] < QUEUE_CAP)
 
@@ -624,8 +621,18 @@ def _make_closest_kernel(meta, tile_rows: int, front: int,
                             sm = sm + jax.lax.select(do_q, npop, jnp.int32(0))
                     return sp, n_q, nn, rd, sm
 
-                sp, n_q, nn, rd, sm = lax.while_loop(
+                return lax.while_loop(
                     walk_cond, walk_body, (sp, jnp.int32(0), nn, rd, sm)
+                )
+
+            def seg_cond(c):
+                return c[0] > 0
+
+            def seg_body(c):
+                sp, nn, lv, rd, sm = c
+                # t tightened by the previous segment's drain
+                sp, n_q, nn, rd, sm = walk_segment(
+                    sp, t_ref[...], nn, rd, sm
                 )
                 lv = lv + n_q
                 drain(n_q)
@@ -720,9 +727,12 @@ def _leaf_sph_anyhit(leaf_row, count, ox, oy, oz, dx, dy, dz, t_limit, occ,
 
 def _make_shadow_kernel(meta, tile_rows: int, front: int,
                         stack_cap: int = STACK_CAP,
-                        leaf_width: int = WIDTH):
+                        leaf_width: int = WIDTH,
+                        drain_unroll: int | None = None):
     """Any-hit occlusion kernel: first accepted hit latches a lane; the walk
     drops occluded lanes from every mask and exits once all lanes resolve."""
+    if drain_unroll is None:
+        drain_unroll = DRAIN_UNROLL
 
     # subtile-gated drain as in _make_closest_kernel: the occluded latch
     # lives in the i32 output ref so pl.when updates (8,128) slices of only
@@ -766,9 +776,9 @@ def _make_shadow_kernel(meta, tile_rows: int, front: int,
                 # not VPU work (BENCHLOG roofline memo). enc >= 0 always,
                 # so decode uses shifts, not div/mod, on the scalar core.
                 def leaf_body(qq, carry):
-                    q0 = qq * DRAIN_UNROLL
+                    q0 = qq * drain_unroll
                     loaded = []
-                    for u in range(DRAIN_UNROLL):
+                    for u in range(drain_unroll):
                         qi = q0 + u
                         valid = qi < n_q
                         packed = queue_ref[jax.lax.select(
@@ -810,7 +820,7 @@ def _make_shadow_kernel(meta, tile_rows: int, front: int,
                             occ_ref[sl, :] = occ_n
                     return carry
 
-                n_grp = (n_q + DRAIN_UNROLL - 1) // DRAIN_UNROLL
+                n_grp = (n_q + drain_unroll - 1) // drain_unroll
                 return lax.fori_loop(0, n_grp, leaf_body, jnp.int32(0))
 
             def seg_cond(sp):
@@ -899,11 +909,11 @@ def _pad_tiles(x, tile_rows, n):
 @functools.partial(
     jax.jit,
     static_argnames=("meta", "interpret", "tile_rows", "front", "stack_cap",
-                     "leaf_width", "with_stats"),
+                     "leaf_width", "with_stats", "drain_unroll"),
 )
 def _run_trace(arrays, meta, o, d, t_max, interpret=False,
                tile_rows=TILE_ROWS, front=FRONT, stack_cap=STACK_CAP,
-               leaf_width=WIDTH, with_stats=False):
+               leaf_width=WIDTH, with_stats=False, drain_unroll=None):
     (wide_child, wide_bounds, wide_perm, tri_rows, sph_rows,
      tri_v0e, inst_w2o) = arrays
     n = o.shape[0]
@@ -921,7 +931,7 @@ def _run_trace(arrays, meta, o, d, t_max, interpret=False,
     )
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     kernel = _make_closest_kernel(meta, tile_rows, front, stack_cap,
-                                  leaf_width, with_stats)
+                                  leaf_width, with_stats, drain_unroll)
     shp = (g * tile_rows, _LANES)
     out_shape = [
         jax.ShapeDtypeStruct(shp, jnp.float32),
@@ -1078,7 +1088,7 @@ def _arrays(wscene: WideScene):
 def trace_closest_wide(
     wscene: WideScene, o, d, active=None, t_max=None,
     interpret: bool | None = None, tile_rows: int = TILE_ROWS,
-    front: int = FRONT,
+    front: int = FRONT, drain_unroll: int | None = None,
 ) -> HitRecord:
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -1098,6 +1108,7 @@ def trace_closest_wide(
             return _run_trace(
                 arrays, wscene.meta, oo, dd, tm, interpret, tile_rows,
                 front, wscene.stack_cap, wscene.leaf_width,
+                drain_unroll=drain_unroll,
             )
 
         t, prim, inst, bu, bv = _shard_ray_op(
@@ -1107,6 +1118,7 @@ def trace_closest_wide(
         t, prim, inst, bu, bv = _run_trace(
             _arrays(wscene), wscene.meta, o, d, t_max, interpret, tile_rows,
             front, wscene.stack_cap, wscene.leaf_width,
+            drain_unroll=drain_unroll,
         )
     miss = prim < 0
     kind = jnp.where(miss, 0, inst & 3)

@@ -92,7 +92,7 @@ def _trace_fns(pscene):
     return pallas_tk.trace_closest_pallas, pallas_tk.shadow_occlusion_pallas
 
 
-def _trace(scene, pscene, o, d, active=None, sort=False):
+def _trace(scene, pscene, o, d, active=None, sort=False, morton_bounds=None):
     """Closest-hit dispatch: pallas packet kernel (8-wide or binary) when a
     prepared scene is supplied, XLA while-loop tracer otherwise. Primary
     batches arrive coherent in the frame's static block-linear order
@@ -116,11 +116,12 @@ def _trace(scene, pscene, o, d, active=None, sort=False):
         def run(oo, dd, act):
             return closest(pscene, oo, dd, active=act, **kw)
     if sort and active is not None:
-        return sort_mod.sorted_closest(run, o, d, active)
+        return sort_mod.sorted_closest(run, o, d, active, morton_bounds)
     return run(o, d, active)
 
 
-def _shadow(scene, pscene, o, d, t_max, active=None, sort=False):
+def _shadow(scene, pscene, o, d, t_max, active=None, sort=False,
+            morton_bounds=None):
     if pscene is None:
         return traverse.shadow_occlusion(scene, o, d, t_max, active=active)
     kw = {}
@@ -145,7 +146,7 @@ def _shadow(scene, pscene, o, d, t_max, active=None, sort=False):
             "sorted shadow path requires a scalar t_max (per-lane t_max "
             "would need to ride the sort permutation; see ops/sort.py)"
         )
-        return sort_mod.sorted_shadow(run, o, d, active)
+        return sort_mod.sorted_shadow(run, o, d, active, morton_bounds)
     return run(o, d, active)
 
 
@@ -247,6 +248,16 @@ def _path_trace_block(
     sky_bottom = cfg.sky_tint_bottom
     sun_radiance = cfg.sun_radiance
 
+    # scene-bounds quantization for the origin-Morton sort-key refinement
+    # (ops/sort.py): bounce-ray origins are hit points, so grouping packets
+    # by scene region halves their traversal unions (measured 1.8-2.2x on
+    # the bounce closest / shadow kernels at 1.8M lanes, v5e).
+    morton_bounds = None
+    if cfg.sort_bounce_rays and cfg.sort_origin_morton:
+        bmin = jnp.min(scene.inst_bmin, axis=0)
+        bmax = jnp.max(scene.inst_bmax, axis=0)
+        morton_bounds = (bmin, 1.0 / jnp.maximum(bmax - bmin, 1e-6))
+
     def tile(x):
         return jnp.tile(x, (spp,) + (1,) * (x.ndim - 1))
 
@@ -341,6 +352,7 @@ def _path_trace_block(
             traced = _shadow(
                 scene, pscene, shadow_o, sel["wi"], 1e29,
                 active=sel["ok"] & (~sun_sel), sort=cfg.sort_bounce_rays,
+                morton_bounds=morton_bounds,
             )
             occluded = jnp.where(sun_sel, sun_occ0, traced)
             # dedup honesty: sun-substituted lanes were NOT traced in this
@@ -350,7 +362,7 @@ def _path_trace_block(
         else:
             occluded = _shadow(
                 scene, pscene, shadow_o, sel["wi"], 1e29, active=sel["ok"],
-                sort=cfg.sort_bounce_rays,
+                sort=cfg.sort_bounce_rays, morton_bounds=morton_bounds,
             )
             eff = eff + jnp.sum(sel["ok"].astype(jnp.float32))
         direct = jnp.where(
@@ -409,7 +421,7 @@ def _path_trace_block(
             # which is deliberately NOT the closest-hit cutout predicate.
             occluded = _shadow(
                 scene, pscene, ray_o, new_dir, 1e29, active=trace_active,
-                sort=cfg.sort_bounce_rays,
+                sort=cfg.sort_bounce_rays, morton_bounds=morton_bounds,
             )
             missed = trace_active & (~occluded)
             li = li + jnp.where(
@@ -421,7 +433,7 @@ def _path_trace_block(
         else:
             hit = _trace(
                 scene, pscene, ray_o, new_dir, active=trace_active,
-                sort=cfg.sort_bounce_rays,
+                sort=cfg.sort_bounce_rays, morton_bounds=morton_bounds,
             )
             surf = traverse.shade_hits(scene, hit, ray_o, new_dir)
             missed = trace_active & (~hit.hit)

@@ -960,13 +960,22 @@ def _run_trace(arrays, meta, o, d, t_max, interpret=False,
     )(wide_child, wide_bounds, wide_perm, tri_rows, sph_rows,
       ox, oy, oz, dx, dy, dz, tm)
     t, pp = res[0].reshape(-1)[:n], res[1].reshape(-1)[:n]
+    if with_stats:
+        return t, pp, res[2]
+    return t, pp
 
-    # decode the packed record and recompute barycentrics in XLA: a gather
-    # of the winning triangle per lane + one Moller-Trumbore evaluation in
-    # object space. This is the per-lane data-dependent access the kernel
-    # cannot do (SMEM/VMEM table lookups cap at ~1k entries on TPU) and XLA
-    # does at HBM bandwidth; it costs ~1 HBM pass over the ray batch vs the
-    # three output refs it removes from every drain update in the kernel.
+
+def _decode_pp(tri_v0e, inst_w2o, o, d, t, pp):
+    """Decode the kernel's packed (t, prim|inst) record and recompute
+    barycentrics in XLA: a gather of the winning triangle per lane + one
+    Moller-Trumbore evaluation in object space. This is the per-lane
+    data-dependent access the kernel cannot do (SMEM/VMEM table lookups
+    cap at ~1k entries on TPU) and XLA does at HBM bandwidth; it costs ~1
+    HBM pass over the ray batch vs the three output refs it removes from
+    every drain update in the kernel. Stand-alone so the sorted-trace path
+    (ops/sort.sorted_closest_packed) can un-permute the TWO packed fields
+    and decode in original lane order against the caller's un-gathered
+    o/d."""
     miss = pp < 0
     prim = jnp.where(miss, -1, pp & _PP_PRIM_MASK)
     inst = jnp.where(miss, -1, pp >> PP_PRIM_BITS)
@@ -992,11 +1001,34 @@ def _run_trace(arrays, meta, o, d, t_max, interpret=False,
     )
     bu = jnp.where(tri_hit, bu, 0.0)
     bv = jnp.where(tri_hit, bv, 0.0)
+    return t, prim, inst, bu, bv
 
-    out = (t, prim, inst, bu, bv)
-    if with_stats:
-        return out + (res[2],)
-    return out
+
+def _pp_to_record(t, prim, inst, bu, bv) -> "HitRecord":
+    miss = prim < 0
+    kind = jnp.where(miss, 0, inst & 3)
+    return HitRecord(
+        t=jnp.where(miss, T_INF, t),
+        kind=kind,
+        prim=prim,
+        inst=jnp.where(miss, -1, inst >> 2),
+        bu=bu,
+        bv=bv,
+    )
+
+
+@jax.jit
+def _decode_jit(tri_v0e, inst_w2o, o, d, t, pp):
+    return _pp_to_record(*_decode_pp(tri_v0e, inst_w2o, o, d, t, pp))
+
+
+def decode_wide_hits(wscene: "WideScene", o, d, t, pp) -> "HitRecord":
+    """XLA epilogue for trace_closest_wide_packed: packed record ->
+    HitRecord with barycentrics, in whatever lane order (o, d, t, pp)
+    share. Jitted so eager callers get the same fused FP contraction the
+    epilogue had when it lived inside _run_trace's jit (bit-exactness to
+    the XLA oracle on graze lanes depends on it)."""
+    return _decode_jit(wscene.tri_v0e, wscene.inst_w2o, o, d, t, pp)
 
 
 @functools.partial(
@@ -1085,11 +1117,16 @@ def _arrays(wscene: WideScene):
     )
 
 
-def trace_closest_wide(
+def trace_closest_wide_packed(
     wscene: WideScene, o, d, active=None, t_max=None,
     interpret: bool | None = None, tile_rows: int = TILE_ROWS,
     front: int = FRONT, drain_unroll: int | None = None,
-) -> HitRecord:
+):
+    """Kernel-only closest trace: returns the raw packed (t, prim|inst)
+    record (two (N,) arrays, miss = pp < 0) WITHOUT the barycentric
+    epilogue. The sorted path un-permutes just these two fields and runs
+    decode_wide_hits in original lane order -- a (N,2) unsort gather
+    instead of (N,6)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n = o.shape[0]
@@ -1111,25 +1148,26 @@ def trace_closest_wide(
                 drain_unroll=drain_unroll,
             )
 
-        t, prim, inst, bu, bv = _shard_ray_op(
-            wscene.mesh, run, 5, o, d, t_max
-        )
+        t, pp = _shard_ray_op(wscene.mesh, run, 2, o, d, t_max)
     else:
-        t, prim, inst, bu, bv = _run_trace(
+        t, pp = _run_trace(
             _arrays(wscene), wscene.meta, o, d, t_max, interpret, tile_rows,
             front, wscene.stack_cap, wscene.leaf_width,
             drain_unroll=drain_unroll,
         )
-    miss = prim < 0
-    kind = jnp.where(miss, 0, inst & 3)
-    return HitRecord(
-        t=jnp.where(miss, T_INF, t),
-        kind=kind,
-        prim=prim,
-        inst=jnp.where(miss, -1, inst >> 2),
-        bu=bu,
-        bv=bv,
+    return t, pp
+
+
+def trace_closest_wide(
+    wscene: WideScene, o, d, active=None, t_max=None,
+    interpret: bool | None = None, tile_rows: int = TILE_ROWS,
+    front: int = FRONT, drain_unroll: int | None = None,
+) -> HitRecord:
+    t, pp = trace_closest_wide_packed(
+        wscene, o, d, active=active, t_max=t_max, interpret=interpret,
+        tile_rows=tile_rows, front=front, drain_unroll=drain_unroll,
     )
+    return decode_wide_hits(wscene, o, d, t, pp)
 
 
 def trace_closest_wide_stats(
@@ -1152,21 +1190,11 @@ def trace_closest_wide_stats(
         t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
-    t, prim, inst, bu, bv, stats = _run_trace(
+    t, pp, stats = _run_trace(
         _arrays(wscene), wscene.meta, o, d, t_max, interpret, tile_rows,
         front, wscene.stack_cap, wscene.leaf_width, True,
     )
-    miss = prim < 0
-    kind = jnp.where(miss, 0, inst & 3)
-    rec = HitRecord(
-        t=jnp.where(miss, T_INF, t),
-        kind=kind,
-        prim=prim,
-        inst=jnp.where(miss, -1, inst >> 2),
-        bu=bu,
-        bv=bv,
-    )
-    return rec, stats
+    return decode_wide_hits(wscene, o, d, t, pp), stats
 
 
 def shadow_occlusion_wide(

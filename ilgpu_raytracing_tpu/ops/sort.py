@@ -120,12 +120,10 @@ def sorted_closest(trace_fn, o, d, active, morton_bounds=None):
     row gather each way. `morton_bounds` = (bmin, inv_ext) scene-bounds
     quantization for the Morton refinement; None keeps the octant-only
     key."""
-    perm, pos = _ray_perm(o, d, active, morton_bounds)
-    rows = jnp.concatenate(
-        [o, d, active.astype(jnp.float32)[:, None]], axis=1
-    )
+    perm, pos, act_s = _sorted_rays(o, d, active, morton_bounds)
+    rows = jnp.concatenate([o, d], axis=1)
     rs = jnp.take(rows, perm, axis=0)
-    hit = trace_fn(rs[:, 0:3], rs[:, 3:6], rs[:, 6] > 0.5)
+    hit = trace_fn(rs[:, 0:3], rs[:, 3:6], act_s)
     out = jnp.concatenate(
         [
             hit.t[:, None], hit.bu[:, None], hit.bv[:, None],
@@ -141,13 +139,43 @@ def sorted_closest(trace_fn, o, d, active, morton_bounds=None):
     )
 
 
+def _sorted_rays(o, d, active, morton_bounds):
+    """(perm, pos, sorted_active). The sort key puts every live lane
+    before every dead one (dead lanes share the single tail bin and the
+    counting sort is stable), so the sorted active mask is just
+    iota < n_alive -- no need to carry an active column through the packed
+    row gather."""
+    perm, pos = _ray_perm(o, d, active, morton_bounds)
+    n_alive = jnp.sum(active.astype(jnp.int32))
+    act_s = jnp.arange(o.shape[0], dtype=jnp.int32) < n_alive
+    return perm, pos, act_s
+
+
+def sorted_closest_packed(trace_fn, decode_fn, o, d, active,
+                          morton_bounds=None):
+    """Sorted closest trace for kernels with a packed two-field hit record
+    (wide/stream kernels: t + prim|inst i32, barycentrics recomputed in an
+    XLA epilogue). The epilogue runs AFTER the un-permute, against the
+    caller's original-order o/d, so only (N,2) rides the unsort gather
+    instead of the full 6-field HitRecord -- the unsort drops from ~2/3 of
+    the sorted-trace glue to ~1/4 (v5e, 1.8M lanes).
+
+    trace_fn(o, d, active) -> (t, pp); decode_fn(t, pp) -> HitRecord in
+    original lane order (close over the original o/d)."""
+    perm, pos, act_s = _sorted_rays(o, d, active, morton_bounds)
+    rows = jnp.concatenate([o, d], axis=1)
+    rs = jnp.take(rows, perm, axis=0)
+    t, pp = trace_fn(rs[:, 0:3], rs[:, 3:6], act_s)
+    out = jnp.concatenate([t[:, None], _bc(pp)[:, None]], axis=1)
+    ro = jnp.take(out, pos, axis=0)
+    return decode_fn(ro[:, 0], _bi(ro[:, 1]))
+
+
 def sorted_shadow(shadow_fn, o, d, active, morton_bounds=None):
     """shadow_fn(o, d, active) -> (N,) bool, sorted like sorted_closest."""
-    perm, pos = _ray_perm(o, d, active, morton_bounds)
-    rows = jnp.concatenate(
-        [o, d, active.astype(jnp.float32)[:, None]], axis=1
-    )
+    perm, pos, act_s = _sorted_rays(o, d, active, morton_bounds)
+    rows = jnp.concatenate([o, d], axis=1)
     rs = jnp.take(rows, perm, axis=0)
-    occ = shadow_fn(rs[:, 0:3], rs[:, 3:6], rs[:, 6] > 0.5)
+    occ = shadow_fn(rs[:, 0:3], rs[:, 3:6], act_s)
     # gather as i32: a pred (1-bit packed) gather costs ~7 ms at 901k
     return jnp.take(occ.astype(jnp.int32), pos, axis=0) != 0

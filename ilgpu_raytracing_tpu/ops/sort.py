@@ -36,6 +36,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ilgpu_raytracing_tpu.ops.pallas import sortpos_kernel
+
 _BINS = 16
 
 
@@ -44,16 +46,27 @@ def _perm_from_key(key: jnp.ndarray, bins: int = _BINS):
 
     Returns (perm, pos): sorted[i] = orig[perm[i]] and pos[i] -- each
     element's destination -- doubles as the inverse permutation
-    (orig[i] = sorted[pos[i]])."""
+    (orig[i] = sorted[pos[i]]).
+
+    On TPU the destinations come from the Pallas two-pass counting kernel
+    (ops/pallas/sortpos_kernel.py, bit-identical, 22 -> 8 ms at 1.8M
+    lanes); the XLA one-hot formulation below is the CPU path and the
+    kernel's reference semantics."""
     n = key.shape[0]
-    onehot = (key[:, None] == jnp.arange(bins, dtype=key.dtype)[None, :])
-    onehot = onehot.astype(jnp.int32)
-    within = jnp.cumsum(onehot, axis=0) - onehot  # exclusive, per bin
-    counts = jnp.sum(onehot, axis=0)
-    starts = jnp.cumsum(counts) - counts
-    # select-by-key via masked sum: a (n,16) multiply+reduce is ~10x cheaper
-    # than a take_along_axis gather on TPU (measured 9.2 -> ~1 ms at 901k)
-    pos = jnp.sum(onehot * (within + starts[None, :]), axis=1)
+    if jax.default_backend() != "cpu":
+        pos = sortpos_kernel.counting_pos(key, bins)
+    else:
+        onehot = (
+            key[:, None] == jnp.arange(bins, dtype=key.dtype)[None, :]
+        )
+        onehot = onehot.astype(jnp.int32)
+        within = jnp.cumsum(onehot, axis=0) - onehot  # exclusive, per bin
+        counts = jnp.sum(onehot, axis=0)
+        starts = jnp.cumsum(counts) - counts
+        # select-by-key via masked sum: a (n,16) multiply+reduce is ~10x
+        # cheaper than a take_along_axis gather on TPU (measured 9.2 ->
+        # ~1 ms at 901k)
+        pos = jnp.sum(onehot * (within + starts[None, :]), axis=1)
     perm = jnp.zeros((n,), jnp.int32).at[pos].set(
         jnp.arange(n, dtype=jnp.int32)
     )

@@ -522,14 +522,18 @@ def _make_closest_kernel(meta, tile_rows: int, front: int,
                                    rows_per_leaf)
                     n_rows = enc % _ENC_BASE
                     for r in range(rows_per_leaf):
-                        if resident:
-                            leaf_row = tri_hbm[pl.ds(first + r, 1), :]
-                        else:
-                            leaf_row = buf_ref[slot, pl.ds(r, 1), :]
-                        cnt = jax.lax.select(
-                            r < n_rows, jnp.int32(LEAF_WIDTH), jnp.int32(0)
-                        )
-                        sub_update(sub, leaf_row, cnt, tri=True)
+                        # skip rows past the leaf's fill entirely (SAH
+                        # leaves average ~12/16 rows); padding row slots
+                        # hold zero-triangles, so testing the full row
+                        # width on kept rows is today's exact semantics
+                        @pl.when(r < n_rows)
+                        def _(r=r, sub=sub, first=first, slot=slot):
+                            if resident:
+                                leaf_row = tri_hbm[pl.ds(first + r, 1), :]
+                            else:
+                                leaf_row = buf_ref[slot, pl.ds(r, 1), :]
+                            sub_update(sub, leaf_row, jnp.int32(LEAF_WIDTH),
+                                       tri=True)
                     return carry
 
                 return lax.fori_loop(0, n_q, leaf_body, jnp.int32(0))
@@ -571,6 +575,18 @@ def _make_shadow_kernel(meta, tile_rows: int, front: int,
                         resident: bool = False,
                         rows_per_leaf: int = ROWS_PER_LEAF,
                         stack_cap: int = STACK_CAP):
+    # The occlusion latch lives in the i32 output ref (0/1) instead of an
+    # f32 loop carry, so leaf drains can update ONLY the (8,128) subtiles
+    # whose walk-time slab test wanted each leaf (the walk folds the
+    # open-lane mask in, so fully-occluded subtiles also drop out). With
+    # 128-tri coarse leaves the previous full-tile drain MT-tested all 4
+    # subtiles x 16 rows per queued leaf; sorted bounce packets want ~2/4.
+    # Results are identical: occ only latches upward, and a subtile whose
+    # segment-start slab test missed the leaf bounds (or that had no open
+    # lanes) cannot gain an occlusion hit from that leaf's triangles.
+    n_sub = tile_rows // SUB_ROWS if tile_rows % SUB_ROWS == 0 else 1
+    sub_rows = tile_rows // n_sub
+
     def kernel(wc_ref, wb_ref, wp_ref, tri_hbm, sph_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                occ_ref, stack_ref, queue_ref, buf_ref, sem):
@@ -579,7 +595,7 @@ def _make_shadow_kernel(meta, tile_rows: int, front: int,
         wdx, wdy, wdz = dx_ref[...], dy_ref[...], dz_ref[...]
         t_limit = tmax_ref[...]
         active0 = t_limit > 0.0
-        occ = jnp.zeros(shape, jnp.float32)
+        occ_ref[...] = jnp.zeros(shape, jnp.int32)
 
         for kind, wide_root, w2o, wbounds, inst_id in meta:
             if _is_identity(w2o):
@@ -593,20 +609,36 @@ def _make_shadow_kernel(meta, tile_rows: int, front: int,
             enter = (
                 _instance_enter(wbounds, wox, woy, woz, wix, wiy, wiz, t_limit)
                 & active0
-                & (occ < 0.5)
+                & (occ_ref[...] < 1)
             )
             octant = _packet_octant(dx, dy, dz)
             sp0 = jax.lax.select(jnp.any(enter), jnp.int32(1), jnp.int32(0))
             stack_ref[0] = jnp.int32(wide_root)
 
-            def drain_tri(n_q, occ):
+            def sub_update(sub, leaf_row, cnt, tri: bool):
+                for s in range(n_sub):
+                    @pl.when(((sub >> s) & 1) != 0)
+                    def _(s=s, leaf_row=leaf_row, cnt=cnt):
+                        sl = slice(s * sub_rows, (s + 1) * sub_rows)
+                        occ_b = occ_ref[sl, :]
+                        test = _leaf_tri_anyhit if tri else _leaf_sph_anyhit
+                        occ_ref[sl, :] = test(
+                            leaf_row, cnt,
+                            ox[sl], oy[sl], oz[sl],
+                            dx[sl], dy[sl], dz[sl],
+                            t_limit[sl], occ_b, active0[sl], LEAF_WIDTH,
+                        )
+
+            def drain_tri(n_q):
                 if not resident:
                     _start_dma(tri_hbm, buf_ref, sem, queue_ref,
                                jnp.int32(0), n_q, jnp.int32(0),
                                rows_per_leaf)
 
-                def leaf_body(q, occ):
-                    enc = queue_ref[q] & _SQ_ENC_MASK
+                def leaf_body(q, carry):
+                    packed = queue_ref[q]
+                    sub = packed >> _SQ_MASK_SHIFT
+                    enc = packed & _SQ_ENC_MASK
                     first = enc // _ENC_BASE
                     slot = q % 2
                     if not resident:
@@ -617,54 +649,52 @@ def _make_shadow_kernel(meta, tile_rows: int, front: int,
                                    rows_per_leaf)
                     n_rows = enc % _ENC_BASE
                     for r in range(rows_per_leaf):
-                        if resident:
-                            leaf_row = tri_hbm[pl.ds(first + r, 1), :]
-                        else:
-                            leaf_row = buf_ref[slot, pl.ds(r, 1), :]
-                        cnt = jax.lax.select(
-                            r < n_rows, jnp.int32(LEAF_WIDTH), jnp.int32(0)
-                        )
-                        occ = _leaf_tri_anyhit(
-                            leaf_row, cnt, ox, oy, oz, dx, dy, dz,
-                            t_limit, occ, active0,
-                        )
-                    return occ
+                        # skip rows past the leaf's fill entirely (SAH
+                        # leaves average ~12/16 rows); padding row slots
+                        # hold zero-triangles, so testing the full row
+                        # width on kept rows is today's exact semantics
+                        @pl.when(r < n_rows)
+                        def _(r=r, sub=sub, first=first, slot=slot):
+                            if resident:
+                                leaf_row = tri_hbm[pl.ds(first + r, 1), :]
+                            else:
+                                leaf_row = buf_ref[slot, pl.ds(r, 1), :]
+                            sub_update(sub, leaf_row, jnp.int32(LEAF_WIDTH),
+                                       tri=True)
+                    return carry
 
-                return lax.fori_loop(0, n_q, leaf_body, occ)
+                return lax.fori_loop(0, n_q, leaf_body, jnp.int32(0))
 
-            def drain_sph(n_q, occ):
-                def leaf_body(q, occ):
-                    first = (queue_ref[q] & _SQ_ENC_MASK) // _ENC_BASE
+            def drain_sph(n_q):
+                def leaf_body(q, carry):
+                    packed = queue_ref[q]
+                    sub = packed >> _SQ_MASK_SHIFT
+                    first = (packed & _SQ_ENC_MASK) // _ENC_BASE
                     leaf_row = sph_ref[pl.ds(first, 1), :]
-                    return _leaf_sph_anyhit(
-                        leaf_row, LEAF_WIDTH, ox, oy, oz, dx, dy, dz,
-                        t_limit, occ, active0,
-                    )
+                    sub_update(sub, leaf_row, jnp.int32(LEAF_WIDTH),
+                               tri=False)
+                    return carry
 
-                return lax.fori_loop(0, n_q, leaf_body, occ)
+                return lax.fori_loop(0, n_q, leaf_body, jnp.int32(0))
 
-            def seg_cond(c):
-                return c[0] > 0
+            def seg_cond(sp):
+                return sp > 0
 
-            def seg_body(c):
-                sp, occ = c
-                open_mask = active0 & (occ < 0.5)
+            def seg_body(sp):
+                open_mask = active0 & (occ_ref[...] < 1)
                 sp, n_q = _walk_segment(
                     wc_ref, wb_ref, wp_ref, stack_ref, queue_ref, octant,
                     front, sp, T_INF, ox, oy, oz, ix, iy, iz, open_mask,
-                    stack_cap,
+                    stack_cap, n_sub,
                 )
                 if kind == BLAS_TRI_MESH:
-                    occ = drain_tri(n_q, occ)
+                    drain_tri(n_q)
                 else:
-                    occ = drain_sph(n_q, occ)
-                any_open = jnp.any(active0 & (occ < 0.5))
-                sp = jax.lax.select(any_open, sp, jnp.int32(0))
-                return sp, occ
+                    drain_sph(n_q)
+                any_open = jnp.any(active0 & (occ_ref[...] < 1))
+                return jax.lax.select(any_open, sp, jnp.int32(0))
 
-            sp0, occ = lax.while_loop(seg_cond, seg_body, (sp0, occ))
-
-        occ_ref[...] = (occ > 0.5).astype(jnp.int32)
+            lax.while_loop(seg_cond, seg_body, sp0)
 
     return kernel
 

@@ -28,13 +28,17 @@ def build_terrain_scene(
     grid_x: int = 1024,
     grid_z: int = 512,
     extent: float = 24.0,
-    blas_leaf_size: int = 128,
+    blas_leaf_size: int = 64,
     bvh_method: str = "sah",
 ):
     """(builder, scene) with grid_x*grid_z*2 triangles (default 1,048,576).
 
     Built with coarse leaves so the streaming kernel's wide-node tables fit
-    SMEM (stream_kernel.prepare_stream asserts the budget)."""
+    SMEM (stream_kernel.prepare_stream asserts the budget). leaf=64 is the
+    measured optimum at 1M tris with u8-quantized node bounds: v5e
+    2405/2166/2020 ms per 1280x720 8-bounce frame at leaf 128/96/64
+    (finer leaves halve the leaf-drain MT work; 64 is the smallest that
+    fits the SMEM budget)."""
     b = SceneBuilder(blas_leaf_size=blas_leaf_size, bvh_method=bvh_method)
 
     m_grass = b.add_material(Material(kd=(0.35, 0.55, 0.25)))

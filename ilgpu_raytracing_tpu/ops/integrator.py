@@ -116,15 +116,21 @@ def _trace(scene, pscene, o, d, active=None, sort=False, morton_bounds=None):
         def run(oo, dd, act):
             return closest(pscene, oo, dd, active=act, **kw)
     if sort and active is not None:
-        if not scene.has_alpha and isinstance(pscene, pallas_wk.WideScene):
+        if not scene.has_alpha and isinstance(
+            pscene, (pallas_wk.WideScene, pallas_sk.StreamScene)
+        ):
             # packed fast path: un-permute only (t, prim|inst) and run the
             # barycentric decode epilogue in original lane order against
             # the caller's o/d (saves 4 of 6 unsort-gather columns)
+            if isinstance(pscene, pallas_wk.WideScene):
+                packed, decode = (pallas_wk.trace_closest_wide_packed,
+                                  pallas_wk.decode_wide_hits)
+            else:
+                packed, decode = (pallas_sk.trace_closest_stream_packed,
+                                  pallas_sk.decode_stream_hits)
             return sort_mod.sorted_closest_packed(
-                lambda oo, dd, act: pallas_wk.trace_closest_wide_packed(
-                    pscene, oo, dd, active=act
-                ),
-                lambda t, pp: pallas_wk.decode_wide_hits(pscene, o, d, t, pp),
+                lambda oo, dd, act: packed(pscene, oo, dd, active=act),
+                lambda t, pp: decode(pscene, o, d, t, pp),
                 o, d, active, morton_bounds,
             )
         return sort_mod.sorted_closest(run, o, d, active, morton_bounds)

@@ -11,10 +11,13 @@ meshes, Scene.cs:654-674):
 * the drain loop double-buffers: while the packet tests leaf q, the DMA for
   leaf q+1 is already in flight (latency ~1-2 us vs ~30 us of VPU test work
   per 16-row leaf -- fully hidden);
-* the 8-wide SMEM node tables shrink with the coarser leaves (~1M tris ->
-  ~8k leaves -> ~2.3k wide nodes = ~0.6 MB SMEM), so the scalar walk is
-  unchanged from wide_kernel v4 (FRONT-node frontier, octant-ordered
-  children, packet early-exit).
+* the 8-wide SMEM node tables shrink with the coarser leaves, and child
+  bounds are u8-quantized against a per-node frame (88 B/node of
+  bounds+frame vs 192 B f32), so a 1M-tri scene affords leaf=64 builds
+  (~21k leaves -> ~5.3k wide nodes = ~0.8 MB SMEM) -- half the leaf-drain
+  MT work of leaf=128. The scalar walk is otherwise unchanged from
+  wide_kernel v4 (FRONT-node frontier, octant-ordered children, packet
+  early-exit); dequantization adds ~12 scalar int ops per child visit.
 
 Sphere leaf rows remain VMEM-resident (sphere sets are always small).
 Partial trailing rows rely on zero-padding degeneracy: an all-zero triangle
@@ -53,13 +56,14 @@ from ilgpu_raytracing_tpu.ops.pallas.traverse_kernel import (
     SPH_STRIDE,
     _inv,
     _is_identity,
+    _scene_needs_bary,
     _transform,
 )
 from ilgpu_raytracing_tpu.ops.pallas.wide_kernel import (
     _EMPTY,
+    _pp_to_record,
     _stack_bound,
     MAX_FRONT,
-    _child_slab,
     _instance_enter,
     _leaf_sph_anyhit,
     _leaf_sph_test_pp,
@@ -103,18 +107,24 @@ def _leaf_enc(first_row: int, n_rows: int) -> int:
 class StreamScene:
     """8-wide node tables (SMEM) + HBM-resident triangle rows."""
 
-    wide_bounds: jnp.ndarray  # (W*48,) f32 scalar-prefetch
+    # Node tables are SMEM scalar-prefetch. Child bounds are u8-QUANTIZED
+    # against a per-node frame (lo, ext/255): 88 B/node of bounds+frame vs
+    # 192 B/node of f32 bounds, so a 1M-tri scene affords leaf=64 builds
+    # (half the leaf-drain MT work of leaf=128) inside the SMEM budget.
+    # Quantized boxes round OUTWARD in the exact f32 arithmetic the kernel
+    # dequantizes with, so the walk can only add visits -- results stay
+    # oracle-exact.
+    wide_frame: jnp.ndarray  # (W*6,) f32: per node lo.xyz, (ext/255).xyz
+    wide_qbounds: jnp.ndarray  # (W*16,) i32: per child 2 words of 6 u8s
     wide_child: jnp.ndarray  # (W*8,) i32
     wide_perm: jnp.ndarray  # (W*8,) i32 per-octant child order
     tri_rows: jnp.ndarray  # (Lt, 128) f32, HBM (memory_space=ANY) --
     # or VMEM when `resident` (small scenes with coarse leaves)
     sph_rows: jnp.ndarray  # (Ls, 128) f32, VMEM
-    # HBM tables for the barycentric epilogue (see wide_kernel): per-prim
-    # object-space v0/e1/e2 (aliases of the SceneData arrays -- no host
-    # copy) and per-instance world->object affines
-    tri_v0: jnp.ndarray = None  # (T, 3) f32
-    tri_e1: jnp.ndarray = None  # (T, 3) f32
-    tri_e2: jnp.ndarray = None  # (T, 3) f32
+    # HBM tables for the barycentric decode epilogue (see wide_kernel):
+    # fused per-prim object-space (v0|e1|e2) rows -- ONE gather per decode
+    # instead of three -- and per-instance world->object affines
+    tri_v0e: jnp.ndarray = None  # (T, 9) f32
     inst_w2o: jnp.ndarray = None  # (I, 12) f32
     meta: tuple = struct.field(pytree_node=False, default=())
     resident: bool = struct.field(pytree_node=False, default=False)
@@ -123,6 +133,10 @@ class StreamScene:
     # per-scene worst-case stack occupancy (wide_kernel._stack_bound); SMEM
     # stack scratch is sized from this, so overflow is impossible
     stack_cap: int = struct.field(pytree_node=False, default=STACK_CAP)
+    # False => decode skips the bary gather+MT redo and returns bu=bv=0
+    # (valid when no tri material has a diffuse texture and no alpha; see
+    # traverse_kernel._scene_needs_bary)
+    needs_bary: bool = struct.field(pytree_node=False, default=True)
 
 
 def supports_scene(scene: SceneData, max_tris: int = 4_000_000) -> bool:
@@ -268,7 +282,8 @@ def prepare_stream(scene: SceneData, resident: bool = False) -> StreamScene:
     perms = np.stack(
         [_octant_perms(wb_all[i], wc_all[i]) for i in range(len(wc_all))]
     )
-    smem_bytes = wb_all.size * 4 + wc_all.size * 4 + perms.size * 4
+    wf_all, wq_all = _quantize_bounds(wb_all, wc_all)
+    smem_bytes = (wf_all.size + wq_all.size + wc_all.size + perms.size) * 4
     assert smem_bytes < 900_000, (
         f"wide node tables need {smem_bytes} B SMEM; raise blas_leaf_size"
     )
@@ -334,23 +349,114 @@ def prepare_stream(scene: SceneData, resident: bool = False) -> StreamScene:
         inst_w2o[inst_id] = np.asarray(w2o, np.float32)
 
     return StreamScene(
-        wide_bounds=jnp.asarray(wb_all.reshape(-1)),
+        wide_frame=jnp.asarray(wf_all.reshape(-1)),
+        wide_qbounds=jnp.asarray(wq_all.reshape(-1)),
         wide_child=jnp.asarray(wc_all.reshape(-1)),
         wide_perm=jnp.asarray(perms.reshape(-1).astype(np.int32)),
         tri_rows=jnp.asarray(tri),
         sph_rows=jnp.asarray(rows_or_dummy(sph_rows)),
-        tri_v0=jnp.asarray(scene.tri_v0, jnp.float32),
-        tri_e1=jnp.asarray(scene.tri_e1, jnp.float32),
-        tri_e2=jnp.asarray(scene.tri_e2, jnp.float32),
+        tri_v0e=jnp.concatenate(
+            [jnp.asarray(scene.tri_v0, jnp.float32),
+             jnp.asarray(scene.tri_e1, jnp.float32),
+             jnp.asarray(scene.tri_e2, jnp.float32)], axis=1,
+        ),
         inst_w2o=jnp.asarray(inst_w2o),
         meta=tuple(meta),
         resident=resident,
         rows_per_leaf=max_rows,
         stack_cap=max(int(cap), 64),
+        needs_bary=_scene_needs_bary(scene),
     )
 
 
-def _walk_segment(wc_ref, wb_ref, wp_ref, stack_ref, queue_ref, octant,
+def _quantize_bounds(wb_all: np.ndarray, wc_all: np.ndarray):
+    """u8-quantize per-child AABBs against each node's own frame.
+
+    Returns (wf, wq): wf (n,6) f32 rows of [lo.xyz, scale.xyz] with
+    scale = ext/255, and wq (n,16) i32 -- two words per child packing
+    qlo.xyz | qhi.x and qhi.y | qhi.z as bytes. Quantized boxes are
+    verified OUTWARD-conservative against the dequantization the kernel
+    performs (lo + f32(q) * scale, with a 2-ulp margin for a possible
+    scalar-FMA contraction), so traversal can only visit a superset of the
+    exact-bounds visits: hit results are unchanged."""
+    lo = wb_all[:, :, 0:3].astype(np.float32)
+    hi = wb_all[:, :, 3:6].astype(np.float32)
+    occ = (wc_all != _EMPTY)[:, :, None]
+    flo64 = np.where(occ, lo, np.inf).min(axis=1).astype(np.float64)
+    fhi64 = np.where(occ, hi, -np.inf).max(axis=1).astype(np.float64)
+    flo = flo64.astype(np.float32)
+    over = flo.astype(np.float64) > flo64
+    flo = np.where(over, np.nextafter(flo, np.float32(-np.inf)), flo)
+    fs = ((fhi64 - flo.astype(np.float64)) / 255.0).astype(np.float32)
+    # ensure the frame's top (q=255) covers fhi in f32
+    for _ in range(4):
+        top = flo + np.float32(255.0) * fs
+        short = top.astype(np.float64) < fhi64
+        if not short.any():
+            break
+        fs = np.where(short, np.nextafter(fs, np.float32(np.inf)), fs)
+
+    flo_b = flo[:, None, :]
+    fs_b = fs[:, None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        qlo = np.floor((lo - flo_b) / fs_b)
+        qhi = np.ceil((hi - flo_b) / fs_b)
+    qlo = np.clip(np.nan_to_num(qlo, nan=0.0, posinf=255.0, neginf=0.0),
+                  0, 255)
+    qhi = np.clip(np.nan_to_num(qhi, nan=0.0, posinf=255.0, neginf=0.0),
+                  0, 255)
+    # conservative fix-up in the kernel's own f32 arithmetic, with a 2-ulp
+    # margin on the target (Mosaic may contract the dequant mul+add to FMA)
+    lo_t = np.nextafter(np.nextafter(lo, np.float32(-np.inf)),
+                        np.float32(-np.inf))
+    hi_t = np.nextafter(np.nextafter(hi, np.float32(np.inf)),
+                        np.float32(np.inf))
+    for _ in range(8):
+        dlo = flo_b + qlo.astype(np.float32) * fs_b
+        dhi = flo_b + qhi.astype(np.float32) * fs_b
+        bad_lo = occ & (dlo > lo_t) & (qlo > 0)
+        bad_hi = occ & (dhi < hi_t) & (qhi < 255)
+        if not (bad_lo.any() or bad_hi.any()):
+            break
+        qlo = np.where(bad_lo, qlo - 1, qlo)
+        qhi = np.where(bad_hi, qhi + 1, qhi)
+    dlo = flo_b + qlo.astype(np.float32) * fs_b
+    dhi = flo_b + qhi.astype(np.float32) * fs_b
+    occm = np.broadcast_to(occ, dlo.shape)
+    assert (dlo[occm] <= lo[occm]).all() and (dhi[occm] >= hi[occm]).all(), (
+        "quantized child bounds failed to cover exact bounds"
+    )
+
+    q = np.concatenate([qlo, qhi], axis=2).astype(np.uint32)  # (n,8,6)
+    w0 = q[:, :, 0] | (q[:, :, 1] << 8) | (q[:, :, 2] << 16) \
+        | (q[:, :, 3] << 24)
+    w1 = q[:, :, 4] | (q[:, :, 5] << 8)
+    wq = np.stack([w0, w1], axis=2).reshape(len(q), 16).view(np.int32)
+    wf = np.concatenate([flo, fs], axis=1).astype(np.float32)  # (n,6)
+    return wf, wq
+
+
+def _child_slab_q(x0, y0, z0, x1, y1, z1, ox, oy, oz, ix, iy, iz, t_b):
+    """Slab test against scalar bounds values (dequantized child box);
+    same math and accept predicate as wide_kernel._child_slab."""
+    t1 = (x0 - ox) * ix
+    t2 = (x1 - ox) * ix
+    lo = jnp.minimum(t1, t2)
+    hi = jnp.maximum(t1, t2)
+    t1 = (y0 - oy) * iy
+    t2 = (y1 - oy) * iy
+    lo = jnp.maximum(lo, jnp.minimum(t1, t2))
+    hi = jnp.minimum(hi, jnp.maximum(t1, t2))
+    t1 = (z0 - oz) * iz
+    t2 = (z1 - oz) * iz
+    lo = jnp.maximum(lo, jnp.minimum(t1, t2))
+    hi = jnp.minimum(hi, jnp.maximum(t1, t2))
+    lo = jnp.maximum(lo, T_EPS)
+    return (hi >= lo) & (lo <= t_b)
+
+
+def _walk_segment(wc_ref, wf_ref, wq_ref, wp_ref, stack_ref, queue_ref,
+                  octant,
                   front, sp, t_b, ox, oy, oz, ix, iy, iz, open_mask,
                   stack_cap=STACK_CAP, n_sub: int = 1):
     """One frontier round: pop up to `front` wide nodes, push/queue children
@@ -372,14 +478,29 @@ def _walk_segment(wc_ref, wb_ref, wp_ref, stack_ref, queue_ref, octant,
             wid = jax.lax.select(has, wid, jnp.int32(0))
             popped.append((has, wid))
         for has, wid in reversed(popped):
-            base_b = wid * 48
+            base_f = wid * 6
+            base_q = wid * 16
             base_c = wid * 8
+            flox = wf_ref[base_f]
+            floy = wf_ref[base_f + 1]
+            floz = wf_ref[base_f + 2]
+            fsx = wf_ref[base_f + 3]
+            fsy = wf_ref[base_f + 4]
+            fsz = wf_ref[base_f + 5]
             perm = wp_ref[base_c + octant]
             for rank in range(WIDTH - 1, -1, -1):
                 c8 = (perm >> (rank * 4)) & 7
                 child = wc_ref[base_c + c8]
-                mask = _child_slab(
-                    wb_ref, base_b + c8 * 6, ox, oy, oz, ix, iy, iz, t_b
+                w0 = wq_ref[base_q + c8 * 2]
+                w1 = wq_ref[base_q + c8 * 2 + 1]
+                x0 = flox + (w0 & 255).astype(jnp.float32) * fsx
+                y0 = floy + ((w0 >> 8) & 255).astype(jnp.float32) * fsy
+                z0 = floz + ((w0 >> 16) & 255).astype(jnp.float32) * fsz
+                x1 = flox + ((w0 >> 24) & 255).astype(jnp.float32) * fsx
+                y1 = floy + (w1 & 255).astype(jnp.float32) * fsy
+                z1 = floz + ((w1 >> 8) & 255).astype(jnp.float32) * fsz
+                mask = _child_slab_q(
+                    x0, y0, z0, x1, y1, z1, ox, oy, oz, ix, iy, iz, t_b
                 )
                 if open_mask is not None:
                     mask = mask & open_mask
@@ -452,7 +573,7 @@ def _make_closest_kernel(meta, tile_rows: int, front: int,
     n_sub = tile_rows // SUB_ROWS if tile_rows % SUB_ROWS == 0 else 1
     sub_rows = tile_rows // n_sub
 
-    def kernel(wc_ref, wb_ref, wp_ref, tri_hbm, sph_ref,
+    def kernel(wc_ref, wf_ref, wq_ref, wp_ref, tri_hbm, sph_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                t_ref, pp_ref,
                stack_ref, queue_ref, buf_ref, sem):
@@ -556,7 +677,8 @@ def _make_closest_kernel(meta, tile_rows: int, front: int,
             def seg_body(sp):
                 t_b = t_ref[...]  # tightened by the previous segment
                 sp, n_q = _walk_segment(
-                    wc_ref, wb_ref, wp_ref, stack_ref, queue_ref, octant,
+                    wc_ref, wf_ref, wq_ref, wp_ref, stack_ref, queue_ref,
+                    octant,
                     front, sp, t_b, ox, oy, oz, ix, iy, iz, None,
                     stack_cap, n_sub,
                 )
@@ -587,7 +709,7 @@ def _make_shadow_kernel(meta, tile_rows: int, front: int,
     n_sub = tile_rows // SUB_ROWS if tile_rows % SUB_ROWS == 0 else 1
     sub_rows = tile_rows // n_sub
 
-    def kernel(wc_ref, wb_ref, wp_ref, tri_hbm, sph_ref,
+    def kernel(wc_ref, wf_ref, wq_ref, wp_ref, tri_hbm, sph_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                occ_ref, stack_ref, queue_ref, buf_ref, sem):
         shape = ox_ref.shape
@@ -683,7 +805,8 @@ def _make_shadow_kernel(meta, tile_rows: int, front: int,
             def seg_body(sp):
                 open_mask = active0 & (occ_ref[...] < 1)
                 sp, n_q = _walk_segment(
-                    wc_ref, wb_ref, wp_ref, stack_ref, queue_ref, octant,
+                    wc_ref, wf_ref, wq_ref, wp_ref, stack_ref, queue_ref,
+                    octant,
                     front, sp, T_INF, ox, oy, oz, ix, iy, iz, open_mask,
                     stack_cap, n_sub,
                 )
@@ -713,7 +836,7 @@ def _common_specs(tile_rows, resident: bool, front: int = FRONT,
     kernels index with exactly these values; module constants would
     under-allocate for larger overrides)."""
     ray_spec = pl.BlockSpec(
-        (tile_rows, _LANES), lambda i, s1, s2, s3: (i, 0),
+        (tile_rows, _LANES), lambda i, s1, s2, s3, s4: (i, 0),
         memory_space=pltpu.VMEM,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -735,8 +858,8 @@ def _common_specs(tile_rows, resident: bool, front: int = FRONT,
 def _run_trace(arrays, meta, o, d, t_max, interpret=False,
                tile_rows=TILE_ROWS, front=FRONT, resident=False,
                rows_per_leaf=ROWS_PER_LEAF, stack_cap=STACK_CAP):
-    (wide_child, wide_bounds, wide_perm, tri_rows, sph_rows,
-     tri_v0, tri_e1, tri_e2, inst_w2o) = arrays
+    (wide_child, wide_frame, wide_qbounds, wide_perm,
+     tri_rows, sph_rows) = arrays
     n = o.shape[0]
     ox, g = _pad_tiles(o[:, 0], tile_rows, n)
     oy, _ = _pad_tiles(o[:, 1], tile_rows, n)
@@ -760,30 +883,33 @@ def _run_trace(arrays, meta, o, d, t_max, interpret=False,
         kernel,
         out_shape=out_shape,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(g,),
             in_specs=[hbm, vmem] + [ray_spec] * 7,
             out_specs=[ray_spec] * 2,
             scratch_shapes=scratch,
         ),
         interpret=interpret,
-    )(wide_child, wide_bounds, wide_perm, tri_rows, sph_rows,
+    )(wide_child, wide_frame, wide_qbounds, wide_perm, tri_rows, sph_rows,
       ox, oy, oz, dx, dy, dz, tm)
-    t = t.reshape(-1)[:n]
-    pp = pp.reshape(-1)[:n]
+    return t.reshape(-1)[:n], pp.reshape(-1)[:n]
 
-    # barycentric epilogue (see wide_kernel._run_trace): decode the packed
-    # record and recompute bu/bv for recorded triangle hits with one XLA
-    # gather of the winning triangle + a Moller-Trumbore evaluation in
-    # object space.
+
+def _decode_pp(tri_v0e, inst_w2o, o, d, t, pp, need_bary: bool = True):
+    """Decode the packed (t, prim|inst) record; recompute bu/bv for
+    recorded triangle hits with ONE XLA gather of the fused (v0|e1|e2) row
+    per lane + a Moller-Trumbore evaluation in object space (see
+    wide_kernel._decode_pp). Skipped entirely when need_bary=False (no
+    consumer reads bary on texture/alpha-free scenes)."""
     miss = pp < 0
     prim = jnp.where(miss, -1, pp & _SPP_PRIM_MASK)
     inst = jnp.where(miss, -1, pp >> SPP_PRIM_BITS)
+    if not need_bary:
+        zero = jnp.zeros_like(t)
+        return t, prim, inst, zero, zero
     tri_hit = (~miss) & ((inst & 3) == KIND_TRI)
     idx = jnp.where(tri_hit, prim, 0)
-    v0 = jnp.take(tri_v0, idx, axis=0)
-    e1 = jnp.take(tri_e1, idx, axis=0)
-    e2 = jnp.take(tri_e2, idx, axis=0)
+    rows9 = jnp.take(tri_v0e, idx, axis=0)
     m12 = jnp.take(inst_w2o, jnp.where(tri_hit, inst >> 2, 0), axis=0)
     ox3, oy3, oz3 = o[:, 0], o[:, 1], o[:, 2]
     dx3, dy3, dz3 = d[:, 0], d[:, 1], d[:, 2]
@@ -797,10 +923,25 @@ def _run_trace(arrays, meta, o, d, t_max, interpret=False,
         m12[:, 4] * dx3 + m12[:, 5] * dy3 + m12[:, 6] * dz3,
         m12[:, 8] * dx3 + m12[:, 9] * dy3 + m12[:, 10] * dz3,
     ], axis=-1)
-    _ok, _t2, bu, bv = intersect_triangle(o_obj, d_obj, v0, e1, e2)
+    _ok, _t2, bu, bv = intersect_triangle(
+        o_obj, d_obj, rows9[:, 0:3], rows9[:, 3:6], rows9[:, 6:9]
+    )
     bu = jnp.where(tri_hit, bu, 0.0)
     bv = jnp.where(tri_hit, bv, 0.0)
     return t, prim, inst, bu, bv
+
+
+@functools.partial(jax.jit, static_argnames=("need_bary",))
+def _decode_jit(tri_v0e, inst_w2o, o, d, t, pp, need_bary=True):
+    return _pp_to_record(*_decode_pp(tri_v0e, inst_w2o, o, d, t, pp,
+                                     need_bary))
+
+
+def decode_stream_hits(sscene: "StreamScene", o, d, t, pp) -> HitRecord:
+    """XLA decode epilogue for trace_closest_stream_packed, in whatever
+    lane order (o, d, t, pp) share (see wide_kernel.decode_wide_hits)."""
+    return _decode_jit(sscene.tri_v0e, sscene.inst_w2o, o, d, t, pp,
+                       sscene.needs_bary)
 
 
 @functools.partial(
@@ -811,7 +952,8 @@ def _run_trace(arrays, meta, o, d, t_max, interpret=False,
 def _run_shadow(arrays, meta, o, d, t_max, interpret=False,
                 tile_rows=TILE_ROWS, front=FRONT, resident=False,
                 rows_per_leaf=ROWS_PER_LEAF, stack_cap=STACK_CAP):
-    wide_child, wide_bounds, wide_perm, tri_rows, sph_rows = arrays[:5]
+    (wide_child, wide_frame, wide_qbounds, wide_perm,
+     tri_rows, sph_rows) = arrays
     n = o.shape[0]
     ox, g = _pad_tiles(o[:, 0], tile_rows, n)
     oy, _ = _pad_tiles(o[:, 1], tile_rows, n)
@@ -831,28 +973,31 @@ def _run_shadow(arrays, meta, o, d, t_max, interpret=False,
         kernel,
         out_shape=jax.ShapeDtypeStruct(shp, jnp.int32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(g,),
             in_specs=[hbm, vmem] + [ray_spec] * 7,
             out_specs=ray_spec,
             scratch_shapes=scratch,
         ),
         interpret=interpret,
-    )(wide_child, wide_bounds, wide_perm, tri_rows, sph_rows,
+    )(wide_child, wide_frame, wide_qbounds, wide_perm, tri_rows, sph_rows,
       ox, oy, oz, dx, dy, dz, tm)
     return occ.reshape(-1)[:n] != 0
 
 
 def _arrays(s: StreamScene):
-    return (s.wide_child, s.wide_bounds, s.wide_perm, s.tri_rows, s.sph_rows,
-            s.tri_v0, s.tri_e1, s.tri_e2, s.inst_w2o)
+    return (s.wide_child, s.wide_frame, s.wide_qbounds, s.wide_perm,
+            s.tri_rows, s.sph_rows)
 
 
-def trace_closest_stream(
+def trace_closest_stream_packed(
     sscene: StreamScene, o, d, active=None, t_max=None,
     interpret: bool | None = None, tile_rows: int = TILE_ROWS,
     front: int = FRONT,
-) -> HitRecord:
+):
+    """Kernel-only closest trace: raw packed (t, prim|inst) record (miss
+    = pp < 0), no decode. The sorted path un-permutes just these two
+    fields and decodes in original lane order."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n = o.shape[0]
@@ -863,17 +1008,22 @@ def trace_closest_stream(
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
     assert front <= MAX_FRONT, f"front={front} exceeds MAX_FRONT={MAX_FRONT}"
-    t, prim, inst, bu, bv = _run_trace(
+    return _run_trace(
         _arrays(sscene), sscene.meta, o, d, t_max, interpret, tile_rows,
         front, sscene.resident, sscene.rows_per_leaf, sscene.stack_cap,
     )
-    miss = prim < 0
-    kind = jnp.where(miss, 0, inst & 3)
-    return HitRecord(
-        t=jnp.where(miss, T_INF, t),
-        kind=kind, prim=prim, inst=jnp.where(miss, -1, inst >> 2),
-        bu=bu, bv=bv,
+
+
+def trace_closest_stream(
+    sscene: StreamScene, o, d, active=None, t_max=None,
+    interpret: bool | None = None, tile_rows: int = TILE_ROWS,
+    front: int = FRONT,
+) -> HitRecord:
+    t, pp = trace_closest_stream_packed(
+        sscene, o, d, active=active, t_max=t_max, interpret=interpret,
+        tile_rows=tile_rows, front=front,
     )
+    return decode_stream_hits(sscene, o, d, t, pp)
 
 
 def shadow_occlusion_stream(

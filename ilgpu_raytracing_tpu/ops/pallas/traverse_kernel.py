@@ -75,6 +75,13 @@ class PallasScene:
     # runs exactly this many iterations (a leaf-4 build pays 4 tri tests per
     # leaf visit, not LEAF_WIDTH=8 -- the row layout keeps 8 slots either way)
     leaf_width: int = struct.field(pytree_node=False, default=LEAF_WIDTH)
+    # False when no triangle material samples a diffuse texture and the
+    # scene has no alpha cutouts: hit barycentrics then never influence the
+    # rendered image (shade_hits only uses bu/bv for UV interpolation,
+    # alpha peeling for map_d lookups), so the packed-record decode can
+    # skip its per-bounce triangle-table gather + Moller-Trumbore redo and
+    # return bu = bv = 0. Downstream kernels inherit this flag.
+    needs_bary: bool = struct.field(pytree_node=False, default=True)
 
 
 def supports_scene(scene: SceneData, max_tris: int = 150_000) -> bool:
@@ -182,7 +189,25 @@ def prepare(scene: SceneData) -> PallasScene:
         sph_rows=jnp.asarray(rows_or_dummy(sph_rows)),
         meta=tuple(meta),
         leaf_width=int(max_count[0]),
+        needs_bary=_scene_needs_bary(scene),
     )
+
+
+def _scene_needs_bary(scene: SceneData) -> bool:
+    """True when any triangle material samples a diffuse texture or the
+    scene has alpha cutouts -- the only consumers of hit barycentrics
+    (shade_hits UV interpolation, traverse.py:445-450; alpha map_d tests,
+    ops/alpha.py)."""
+    if bool(scene.has_alpha):
+        return True
+    tri_mat = np.asarray(scene.tri_mat)
+    if tri_mat.size == 0:
+        return False
+    dtex = np.asarray(scene.mat_diffuse_tex)
+    if dtex.size == 0:
+        return False
+    used = dtex[np.clip(tri_mat, 0, dtex.shape[0] - 1)]
+    return bool((used >= 0).any())
 
 
 def _cell(row, lane: int):

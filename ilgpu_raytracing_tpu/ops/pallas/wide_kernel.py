@@ -122,6 +122,11 @@ class WideScene:
     # its own; this is the manual-partitioning path that puts the
     # production tracer on a multi-chip slice). Set via with_mesh().
     mesh: object = struct.field(pytree_node=False, default=None)
+    # False => the decode epilogue skips the tri_v0e gather + MT redo and
+    # returns bu = bv = 0 (valid whenever no tri material samples a diffuse
+    # texture and the scene has no alpha cutouts; see
+    # traverse_kernel._scene_needs_bary). Inherited from PallasScene.
+    needs_bary: bool = struct.field(pytree_node=False, default=True)
 
 
 def _octant_perms(wb: np.ndarray, wc: np.ndarray) -> np.ndarray:
@@ -267,6 +272,7 @@ def prepare_wide(pscene: PallasScene) -> WideScene:
         meta=tuple(meta),
         stack_cap=max(int(cap), 64),
         leaf_width=pscene.leaf_width,
+        needs_bary=pscene.needs_bary,
     )
 
 
@@ -965,7 +971,7 @@ def _run_trace(arrays, meta, o, d, t_max, interpret=False,
     return t, pp
 
 
-def _decode_pp(tri_v0e, inst_w2o, o, d, t, pp):
+def _decode_pp(tri_v0e, inst_w2o, o, d, t, pp, need_bary: bool = True):
     """Decode the kernel's packed (t, prim|inst) record and recompute
     barycentrics in XLA: a gather of the winning triangle per lane + one
     Moller-Trumbore evaluation in object space. This is the per-lane
@@ -979,6 +985,9 @@ def _decode_pp(tri_v0e, inst_w2o, o, d, t, pp):
     miss = pp < 0
     prim = jnp.where(miss, -1, pp & _PP_PRIM_MASK)
     inst = jnp.where(miss, -1, pp >> PP_PRIM_BITS)
+    if not need_bary:
+        zero = jnp.zeros_like(t)
+        return t, prim, inst, zero, zero
     tri_hit = (~miss) & ((inst & 3) == KIND_TRI)
     idx = jnp.where(tri_hit, prim, 0)
     rows9 = jnp.take(tri_v0e, idx, axis=0)
@@ -1017,9 +1026,10 @@ def _pp_to_record(t, prim, inst, bu, bv) -> "HitRecord":
     )
 
 
-@jax.jit
-def _decode_jit(tri_v0e, inst_w2o, o, d, t, pp):
-    return _pp_to_record(*_decode_pp(tri_v0e, inst_w2o, o, d, t, pp))
+@functools.partial(jax.jit, static_argnames=("need_bary",))
+def _decode_jit(tri_v0e, inst_w2o, o, d, t, pp, need_bary=True):
+    return _pp_to_record(*_decode_pp(tri_v0e, inst_w2o, o, d, t, pp,
+                                     need_bary))
 
 
 def decode_wide_hits(wscene: "WideScene", o, d, t, pp) -> "HitRecord":
@@ -1027,8 +1037,11 @@ def decode_wide_hits(wscene: "WideScene", o, d, t, pp) -> "HitRecord":
     HitRecord with barycentrics, in whatever lane order (o, d, t, pp)
     share. Jitted so eager callers get the same fused FP contraction the
     epilogue had when it lived inside _run_trace's jit (bit-exactness to
-    the XLA oracle on graze lanes depends on it)."""
-    return _decode_jit(wscene.tri_v0e, wscene.inst_w2o, o, d, t, pp)
+    the XLA oracle on graze lanes depends on it). When the prepared scene
+    has needs_bary=False, bu/bv are returned as zeros without the gather
+    (no consumer reads them on such scenes)."""
+    return _decode_jit(wscene.tri_v0e, wscene.inst_w2o, o, d, t, pp,
+                       wscene.needs_bary)
 
 
 @functools.partial(

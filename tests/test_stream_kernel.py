@@ -75,7 +75,7 @@ def test_stream_multirow_leaves_cover_all_tris():
 def test_terrain_scene_stream_render():
     """A (scaled-down) terrain mesh renders through the production
     integrator on the streaming kernel and matches the oracle."""
-    _, scene = build_terrain_scene(grid_x=64, grid_z=32, blas_leaf_size=128)
+    _, scene = build_terrain_scene(grid_x=64, grid_z=32)  # default leaf=64
     assert scene.tri_v0.shape[0] == 64 * 32 * 2
     w, h = 96, 64
     cam = terrain_camera(w, h)
@@ -85,3 +85,37 @@ def test_terrain_scene_stream_render():
     ref = traverse.trace_closest(scene, o, d)
     assert (np.abs(np.asarray(hit.t) - np.asarray(ref.t)) > 1e-3).sum() == 0
     assert np.asarray(hit.hit).mean() > 0.5  # terrain fills the view
+
+
+def test_quantized_bounds_cover_exact_bounds():
+    """_quantize_bounds must round child boxes outward under the kernel's
+    own f32 dequantization (lo + f32(q) * scale) for adversarial frames:
+    tiny extents, huge coordinates, flat dims, negative ranges."""
+    rs = np.random.RandomState(11)
+    n = 512
+    lo = np.float32(rs.uniform(-1e6, 1e6, (n, 8, 3)))
+    ext = np.float32(10.0 ** rs.uniform(-6, 5, (n, 8, 3)))
+    hi = lo + ext
+    flat = rs.rand(n, 8, 3) < 0.1
+    hi = np.where(flat, lo, hi).astype(np.float32)
+    wb = np.concatenate([lo, hi], axis=2)
+    wc = np.where(rs.rand(n, 8) < 0.2, sk._EMPTY, 1).astype(np.int32)
+    wc[:, 0] = 1  # every node keeps at least one child
+    wf, wq = sk._quantize_bounds(wb, wc)
+    flo = wf[:, None, 0:3]
+    fs = wf[:, None, 3:6]
+    w = wq.view(np.uint32).reshape(n, 8, 2)
+    q = np.stack(
+        [w[:, :, 0] & 255, (w[:, :, 0] >> 8) & 255,
+         (w[:, :, 0] >> 16) & 255, (w[:, :, 0] >> 24) & 255,
+         w[:, :, 1] & 255, (w[:, :, 1] >> 8) & 255], axis=2,
+    ).astype(np.float32)
+    dlo = flo + q[:, :, 0:3] * fs
+    dhi = flo + q[:, :, 3:6] * fs
+    occ = np.broadcast_to((wc != sk._EMPTY)[:, :, None], dlo.shape)
+    assert (dlo[occ] <= lo[occ]).all()
+    assert (dhi[occ] >= hi[occ]).all()
+    # boxes may only inflate by ~2 quantization steps
+    step = np.broadcast_to(fs, dlo.shape)
+    assert ((lo - dlo)[occ] <= 2.5 * step[occ] + 1e-30).all()
+    assert ((dhi - hi)[occ] <= 2.5 * step[occ] + 1e-30).all()

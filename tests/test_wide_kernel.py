@@ -122,7 +122,9 @@ def test_wide_bary_epilogue_matches_oracle():
          lambda: Camera.create(64, 48)),
     ):
         scene = builder()
-        ws = wk.prepare_wide(tk.prepare(scene))
+        # texture/alpha-free scenes prepare with needs_bary=False (decode
+        # then returns zero bary); force the epilogue on to validate it
+        ws = wk.prepare_wide(tk.prepare(scene)).replace(needs_bary=True)
         cam = camf()
         o, d = rays.generate_primary_rays(cam, 64, 48)
         h_ref = traverse.trace_closest(scene, o, d)
@@ -152,3 +154,42 @@ def test_wide_bary_epilogue_matches_oracle():
         )
         np.testing.assert_array_equal(np.asarray(h_w.bu)[~rec_tri], 0.0)
         np.testing.assert_array_equal(np.asarray(h_w.bv)[~rec_tri], 0.0)
+
+
+def test_needs_bary_flag_and_skip_is_image_safe(tmp_path):
+    """needs_bary gating: texture/alpha-free scenes prepare with
+    needs_bary=False and the decode returns zero bary (the only consumers
+    -- shade_hits UV interpolation and alpha map_d tests -- never read it
+    on such scenes: dtex < 0 selects kd before the uu/vv mix,
+    traverse.py:451-455). A scene with an alpha-cutout material must flag
+    needs_bary=True. Full-frame safety of the skip is covered by the
+    golden render tests, which run texture-free scenes through this path."""
+    scene = build_cornell_scene(tess=4, sphere_tess=(8, 12))[1]
+    ps = tk.prepare(scene)
+    assert ps.needs_bary is False
+    ws = wk.prepare_wide(ps)
+    assert ws.needs_bary is False
+
+    cam = cornell_camera(64, 48)
+    o, d = rays.generate_primary_rays(cam, 64, 48)
+    h = wk.trace_closest_wide(ws, o, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(h.bu), 0.0)
+    np.testing.assert_array_equal(np.asarray(h.bv), 0.0)
+    # t/prim/inst/kind unaffected by the skip
+    h_full = wk.trace_closest_wide(
+        ws.replace(needs_bary=True), o, d, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(h.t), np.asarray(h_full.t))
+    np.testing.assert_array_equal(np.asarray(h.prim), np.asarray(h_full.prim))
+
+    # shading output identical with and without bary on this scene class
+    s0 = traverse.shade_hits(scene, h, o, d)
+    s1 = traverse.shade_hits(scene, h_full, o, d)
+    np.testing.assert_array_equal(np.asarray(s0.albedo), np.asarray(s1.albedo))
+
+    # alpha scenes must keep bary
+    from ilgpu_raytracing_tpu.models.sponza_like import build_sponza_like_scene
+
+    sp_scene = build_sponza_like_scene(str(tmp_path / "asset"))[1]
+    assert sp_scene.has_alpha
+    assert tk.prepare(sp_scene).needs_bary is True

@@ -74,7 +74,12 @@ from ilgpu_raytracing_tpu.ops.pallas.wide_kernel import (
     WIDTH,
 )
 
-TILE_ROWS = 32
+# 2048-lane packets: measured optimum for the streaming kernel's scene
+# class (1M-tri terrain sweep: tile_rows 32/16/8 -> 2020/1935/1948 ms per
+# frame; smaller packets cut per-leaf union waste faster than they add
+# walk rounds, unlike the VMEM wide kernel where 32 wins). QUEUE_CAP
+# 96/128 measured no better than 48 at leaf=64.
+TILE_ROWS = 16
 FRONT = 4
 STACK_CAP = 256
 QUEUE_CAP = 48  # coarse leaves: fewer queue slots needed per drain round

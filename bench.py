@@ -63,16 +63,26 @@ def main():
     # likewise asynchronous to the next frame's kernels). Every frame is
     # still fully transferred to the host; the tunnel's ~70 ms 8 MB fetch
     # just overlaps device work instead of serializing after it.
-    n_frames = 5
-    prev = None
-    t0 = time.time()
-    for _ in range(n_frames):
-        cur = r.render()
-        if prev is not None:
-            _ = np.asarray(prev)
-        prev = cur
-    _ = np.asarray(prev)  # drain the last frame (forces full sync)
-    dt = time.time() - t0
+    #
+    # De-noised protocol (round 4): 3 windows x 6 frames, report the MIN
+    # window. Host weather (the 1-core container's erratic dispatch) only
+    # ever ADDS time, so the min window is the honest device number and
+    # round-over-round deltas outrun the +-2-4% single-window variance band
+    # (BENCHLOG.md round-3 A/B ranges).
+    n_windows, win_frames = 3, 6
+    win_dts = []
+    for _ in range(n_windows):
+        prev = None
+        t0 = time.time()
+        for _ in range(win_frames):
+            cur = r.render()
+            if prev is not None:
+                _ = np.asarray(prev)
+            prev = cur
+        _ = np.asarray(prev)  # drain the last frame (forces full sync)
+        win_dts.append(time.time() - t0)
+    dt = min(win_dts)
+    n_frames = win_frames
 
     in_n = r.in_w * r.in_h
     rays_per_frame = in_n * (1 + cfg.spp * cfg.max_depth * 2)
@@ -85,9 +95,11 @@ def main():
         "value": round(mrays, 2),
         "unit": "Mrays/s/chip",
         "vs_baseline": round(mrays / 200.0, 4),
+        "vs_baseline_effective": round(mrays_eff / 200.0, 4),
         "detail": {
             "fps_1080p_presented": round(fps, 3),
             "mrays_effective": round(mrays_eff, 2),
+            "window_s": [round(x, 3) for x in win_dts],
             "rays_dispatched_per_frame": rays_per_frame,
             "rays_effective_per_frame": int(eff_rays_per_frame),
             "internal_res": [r.in_w, r.in_h],

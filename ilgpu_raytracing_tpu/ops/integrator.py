@@ -346,7 +346,8 @@ def _path_trace_block(
         static_reuse = allow_reuse and (
             cfg.enable_temporal_reuse or cfg.enable_spatial_reuse
         )
-        state, res_out, sel = restir_mod.restir_direct(
+        with jax.named_scope("glue_restir"):
+            state, res_out, sel = restir_mod.restir_direct(
             scene, gb_full, res_prev, state, is_lambert, pos, nrm, alb,
             pixel_idx, width, height, frame, prev_camera, cam_origin,
             sun_dir, sun_radiance, sky_top, sky_bottom, en_t, en_s,
@@ -452,7 +453,8 @@ def _path_trace_block(
                 scene, pscene, ray_o, new_dir, active=trace_active,
                 sort=cfg.sort_bounce_rays, morton_bounds=morton_bounds,
             )
-            surf = traverse.shade_hits(scene, hit, ray_o, new_dir)
+            with jax.named_scope("glue_shade"):
+                surf = traverse.shade_hits(scene, hit, ray_o, new_dir)
             missed = trace_active & (~hit.hit)
             li = li + jnp.where(
                 missed[..., None],

@@ -142,6 +142,17 @@ class StreamScene:
     # (valid when no tri material has a diffuse texture and no alpha; see
     # traverse_kernel._scene_needs_bary)
     needs_bary: bool = struct.field(pytree_node=False, default=True)
+    # Optional jax.sharding.Mesh with axis "px": traces dispatch through
+    # shard_map over the mesh -- each device walks its ray shard against
+    # replicated node tables / HBM triangle rows (BASELINE config 5 "across
+    # a TPU slice"; image-space data parallelism, SURVEY.md parallelism
+    # axis). Set via with_mesh(); same contract as wide_kernel.WideScene.
+    mesh: object = struct.field(pytree_node=False, default=None)
+
+
+def with_mesh(sscene: StreamScene, mesh) -> StreamScene:
+    """Attach a device mesh: traces shard rays over mesh axis "px"."""
+    return sscene.replace(mesh=mesh)
 
 
 def supports_scene(scene: SceneData, max_tris: int = 4_000_000) -> bool:
@@ -1013,6 +1024,19 @@ def trace_closest_stream_packed(
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
     assert front <= MAX_FRONT, f"front={front} exceeds MAX_FRONT={MAX_FRONT}"
+    if sscene.mesh is not None:
+        from ilgpu_raytracing_tpu.ops.pallas.wide_kernel import _shard_ray_op
+
+        arrays = _arrays(sscene)
+
+        def run(oo, dd, tm):
+            return _run_trace(
+                arrays, sscene.meta, oo, dd, tm, interpret, tile_rows,
+                front, sscene.resident, sscene.rows_per_leaf,
+                sscene.stack_cap,
+            )
+
+        return _shard_ray_op(sscene.mesh, run, 2, o, d, t_max)
     return _run_trace(
         _arrays(sscene), sscene.meta, o, d, t_max, interpret, tile_rows,
         front, sscene.resident, sscene.rows_per_leaf, sscene.stack_cap,
@@ -1043,6 +1067,20 @@ def shadow_occlusion_stream(
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
     assert front <= MAX_FRONT, f"front={front} exceeds MAX_FRONT={MAX_FRONT}"
+    if sscene.mesh is not None:
+        from ilgpu_raytracing_tpu.ops.pallas.wide_kernel import _shard_ray_op
+
+        arrays = _arrays(sscene)
+
+        def run(oo, dd, tm):
+            return (_run_shadow(
+                arrays, sscene.meta, oo, dd, tm, interpret, tile_rows,
+                front, sscene.resident, sscene.rows_per_leaf,
+                sscene.stack_cap,
+            ),)
+
+        (occ,) = _shard_ray_op(sscene.mesh, run, 1, o, d, t_max)
+        return occ
     return _run_shadow(
         _arrays(sscene), sscene.meta, o, d, t_max, interpret, tile_rows,
         front, sscene.resident, sscene.rows_per_leaf, sscene.stack_cap,

@@ -133,19 +133,22 @@ def sorted_closest(trace_fn, o, d, active, morton_bounds=None):
     row gather each way. `morton_bounds` = (bmin, inv_ext) scene-bounds
     quantization for the Morton refinement; None keeps the octant-only
     key."""
-    perm, pos, act_s = _sorted_rays(o, d, active, morton_bounds)
-    rows = jnp.concatenate([o, d], axis=1)
-    rs = jnp.take(rows, perm, axis=0)
+    with jax.named_scope("glue_sortperm"):
+        perm, pos, act_s = _sorted_rays(o, d, active, morton_bounds)
+    with jax.named_scope("glue_sortgather"):
+        rows = jnp.concatenate([o, d], axis=1)
+        rs = jnp.take(rows, perm, axis=0)
     hit = trace_fn(rs[:, 0:3], rs[:, 3:6], act_s)
-    out = jnp.concatenate(
-        [
-            hit.t[:, None], hit.bu[:, None], hit.bv[:, None],
-            _bc(hit.prim)[:, None], _bc(hit.inst)[:, None],
-            _bc(hit.kind)[:, None],
-        ],
-        axis=1,
-    )
-    ro = jnp.take(out, pos, axis=0)
+    with jax.named_scope("glue_unsort"):
+        out = jnp.concatenate(
+            [
+                hit.t[:, None], hit.bu[:, None], hit.bv[:, None],
+                _bc(hit.prim)[:, None], _bc(hit.inst)[:, None],
+                _bc(hit.kind)[:, None],
+            ],
+            axis=1,
+        )
+        ro = jnp.take(out, pos, axis=0)
     return hit.replace(
         t=ro[:, 0], bu=ro[:, 1], bv=ro[:, 2],
         prim=_bi(ro[:, 3]), inst=_bi(ro[:, 4]), kind=_bi(ro[:, 5]),
@@ -175,20 +178,27 @@ def sorted_closest_packed(trace_fn, decode_fn, o, d, active,
 
     trace_fn(o, d, active) -> (t, pp); decode_fn(t, pp) -> HitRecord in
     original lane order (close over the original o/d)."""
-    perm, pos, act_s = _sorted_rays(o, d, active, morton_bounds)
-    rows = jnp.concatenate([o, d], axis=1)
-    rs = jnp.take(rows, perm, axis=0)
+    with jax.named_scope("glue_sortperm"):
+        perm, pos, act_s = _sorted_rays(o, d, active, morton_bounds)
+    with jax.named_scope("glue_sortgather"):
+        rows = jnp.concatenate([o, d], axis=1)
+        rs = jnp.take(rows, perm, axis=0)
     t, pp = trace_fn(rs[:, 0:3], rs[:, 3:6], act_s)
-    out = jnp.concatenate([t[:, None], _bc(pp)[:, None]], axis=1)
-    ro = jnp.take(out, pos, axis=0)
-    return decode_fn(ro[:, 0], _bi(ro[:, 1]))
+    with jax.named_scope("glue_unsort"):
+        out = jnp.concatenate([t[:, None], _bc(pp)[:, None]], axis=1)
+        ro = jnp.take(out, pos, axis=0)
+    with jax.named_scope("glue_decode"):
+        return decode_fn(ro[:, 0], _bi(ro[:, 1]))
 
 
 def sorted_shadow(shadow_fn, o, d, active, morton_bounds=None):
     """shadow_fn(o, d, active) -> (N,) bool, sorted like sorted_closest."""
-    perm, pos, act_s = _sorted_rays(o, d, active, morton_bounds)
-    rows = jnp.concatenate([o, d], axis=1)
-    rs = jnp.take(rows, perm, axis=0)
+    with jax.named_scope("glue_sortperm"):
+        perm, pos, act_s = _sorted_rays(o, d, active, morton_bounds)
+    with jax.named_scope("glue_sortgather"):
+        rows = jnp.concatenate([o, d], axis=1)
+        rs = jnp.take(rows, perm, axis=0)
     occ = shadow_fn(rs[:, 0:3], rs[:, 3:6], act_s)
     # gather as i32: a pred (1-bit packed) gather costs ~7 ms at 901k
-    return jnp.take(occ.astype(jnp.int32), pos, axis=0) != 0
+    with jax.named_scope("glue_unsort"):
+        return jnp.take(occ.astype(jnp.int32), pos, axis=0) != 0

@@ -43,6 +43,7 @@ def _parse_xplane(trace_dir: str):
             if "TPU" not in plane.name and "/device:" not in plane.name:
                 continue
             ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+            stat_meta = {m.id: m.name for m in plane.stat_metadata.values()}
             for line in plane.lines:
                 # XLA op lines carry the per-op breakdown; step lines would
                 # double-count
@@ -51,6 +52,18 @@ def _parse_xplane(trace_dir: str):
                     continue
                 for ev in line.events:
                     name = ev_meta.get(ev.metadata_id, "?")
+                    # prefer the scope-qualified semantic op name (carries
+                    # jax.named_scope paths like glue_sortperm/...) from the
+                    # event stats over the bare HLO instruction name
+                    for st in ev.stats:
+                        k = stat_meta.get(st.metadata_id, "")
+                        if k in ("tf_op", "tf_op_name", "op_name"):
+                            v = st.str_value or stat_meta.get(
+                                st.ref_value, ""
+                            )
+                            if v:
+                                name = f"{v} [{name}]"
+                            break
                     totals[name] += ev.duration_ps
                     device_total += ev.duration_ps
     return totals, device_total
@@ -58,6 +71,12 @@ def _parse_xplane(trace_dir: str):
 
 def _bucket(name: str) -> str:
     n = name.lower()
+    # semantic stages first: jax.named_scope paths riding the op_name stat
+    for tag in ("glue_sortperm", "glue_sortgather", "glue_unsort",
+                "glue_decode", "glue_restir", "glue_shade", "stage_taau",
+                "stage_tonemap_pack", "stage_primary"):
+        if tag in n and "custom-call" not in n and "custom_call" not in n:
+            return tag
     if "custom-call" in n or "tpu_custom_call" in n:
         return "pallas kernels"
     if "gather" in n or "scatter" in n:

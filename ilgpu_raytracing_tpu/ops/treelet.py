@@ -135,14 +135,16 @@ def trace_closest_treelet_single(
         ).sum(axis=1, dtype=jnp.int32)
         perm, pos = _perm_from_key(key, T + 1)
     with jax.named_scope("glue_sortgather"):
-        rows = jnp.concatenate(
-            [o, d, t_max[:, None],
-             jax.lax.bitcast_convert_type(bits, jnp.float32)[:, None]],
-            axis=1,
-        )
+        rows = jnp.concatenate([o, d, t_max[:, None]], axis=1)
         rs = jnp.take(rows, perm, axis=0)
         o_s, d_s, tm_s = rs[:, 0:3], rs[:, 3:6], rs[:, 6]
-        bit_s = jax.lax.bitcast_convert_type(rs[:, 7], jnp.int32)
+        # the mask moves as a separate i32 gather: riding the f32 row
+        # gather as a bitcast loses low-bit patterns on TPU (denormal-range
+        # payloads flush; measured 18k mismatched lanes at 1.8M). A scatter
+        # formulation (sorted[pos]=rows, no perm build) was also measured
+        # and is ~2x SLOWER than perm+gather per sort on v5e -- keep
+        # gathers.
+        bit_s = jnp.take(bits, perm, axis=0)
 
     n_pad = _pad_len(n, tile_rows)
     g = n_pad // (tile_rows * _LANES)
@@ -166,9 +168,18 @@ def trace_closest_treelet_packed(
     ts: "tlk.TreeletScene", o, d, active=None, t_max=None,
     tile_rows: int = tlk.TILE_ROWS, interpret: bool | None = None,
     max_rounds: int | None = None, with_rounds: bool = False,
+    cleanup_after: int | None = None,
 ):
     """Packed (t, pp) closest trace via treelet rounds, original lane
     order. Miss/inactive semantics match trace_closest_wide_packed.
+
+    ``cleanup_after=k``: run k near-first treelet rounds (the dense bulk:
+    round 0 alone carries most drains), then resolve the scattered pending
+    tail with ONE flat wide-kernel dispatch at per-lane t_max = running
+    t_best. Tail rounds measured ~30 ms each on v5e because pending lanes
+    scatter over every packet (BENCHLOG round-4 ladder); the flat cleanup
+    walk is cheap instead -- resolved lanes carry t_max=0 and pending
+    lanes' tight t_best collapses its unions. Exact either way.
 
     ``max_rounds`` caps the visit loop (diagnostic only -- results are
     INCOMPLETE if the cap fires); ``with_rounds`` additionally returns the
@@ -213,6 +224,8 @@ def trace_closest_treelet_packed(
     bits_tbl = jnp.left_shift(jnp.int32(1), jnp.arange(T, dtype=jnp.int32))
 
     r_cap = T if max_rounds is None else min(max_rounds, T)
+    if cleanup_after is not None:
+        r_cap = min(r_cap, cleanup_after)
 
     def cond(c):
         t_best, pp_s, t_lo, it = c
@@ -249,10 +262,23 @@ def trace_closest_treelet_packed(
         t_lo = jnp.where(vis & pending[:, None], jnp.inf, t_lo)
         return t_best, pp_s, t_lo, it + 1
 
-    t_best, pp_s, _, it = lax.while_loop(
+    t_best, pp_s, t_lo, it = lax.while_loop(
         cond, body,
         (tm_s, jnp.full((n,), -1, jnp.int32), t_lo, jnp.int32(0)),
     )
+
+    if cleanup_after is not None and max_rounds is None:
+        from ilgpu_raytracing_tpu.ops.pallas import wide_kernel as wk
+
+        pend = jnp.min(t_lo, axis=1) < t_best
+        t_c, pp_c = wk.trace_closest_wide_packed(
+            ts.wscene, o_s, d_s,
+            t_max=jnp.where(pend, t_best, 0.0),
+            interpret=interpret, tile_rows=tile_rows,
+        )
+        improved = pp_c >= 0
+        t_best = jnp.where(improved, t_c, t_best)
+        pp_s = jnp.where(improved, pp_c, pp_s)
 
     with jax.named_scope("glue_unsort"):
         out = jnp.concatenate([t_best[:, None], _bc(pp_s)[:, None]], axis=1)

@@ -121,9 +121,18 @@ def main():
             ts, bo, bd, active=active, tile_rows=args.tile_rows)
         return wk.decode_wide_hits(wscene, bo, bd, t, pp)
 
+    def treelet_cleanup(k):
+        def fn():
+            t, pp = treelet_mod.trace_closest_treelet_packed(
+                ts, bo, bd, active=active, tile_rows=args.tile_rows,
+                cleanup_after=k)
+            return wk.decode_wide_hits(wscene, bo, bd, t, pp)
+        return fn
+
     # lane-for-lane equality first
     h_f = jax.jit(flat)()
-    for name, variant in (("rounds", treelet), ("single", treelet_single)):
+    for name, variant in (("cleanup1", treelet_cleanup(1)),
+                          ("cleanup2", treelet_cleanup(2))):
         h_t = jax.jit(variant)()
         for f in ("t", "prim", "inst", "kind"):
             a = np.asarray(getattr(h_f, f))
@@ -138,30 +147,10 @@ def main():
         print(f"  {name:44s} {dt*1e3:8.2f} ms  "
               f"({n/dt/1e6:6.2f} Mrays/s)", flush=True)
 
-    rounds = int(jax.jit(
-        lambda: treelet_mod.trace_closest_treelet_packed(
-            ts, bo, bd, active=active, tile_rows=args.tile_rows,
-            with_rounds=True)[2]
-    )())
-    print(f"  rounds executed: {rounds}", flush=True)
-
     report("flat sorted_closest_packed (current)", timed(flat, args.reps))
-    report(f"treelet SINGLE T={ts.n_treelets}",
-           timed(treelet_single, args.reps))
-    report(f"treelet rounds T={ts.n_treelets}", timed(treelet, args.reps))
-
-    def capped(mr):
-        def fn():
-            return treelet_mod.trace_closest_treelet_packed(
-                ts, bo, bd, active=active, tile_rows=args.tile_rows,
-                max_rounds=mr)
-        return fn
-
-    report("treelet glue only (0 rounds: slab+sort+unsort)",
-           timed(capped(0), args.reps))
-    for mr in (1, 3):
-        report(f"treelet capped rounds={mr} (incomplete)",
-               timed(capped(mr), args.reps))
+    for k in (1, 2, 3):
+        report(f"treelet rounds={k}+flat cleanup",
+               timed(treelet_cleanup(k), args.reps))
 
 
 def _cut_rows(ts):

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--grid-x", type=int, default=1024)
     ap.add_argument("--grid-z", type=int, default=512)
     ap.add_argument("--max-depth", type=int, default=8)
+    ap.add_argument("--bvh", default="sah", choices=["sah", "lbvh", "median"])
+    ap.add_argument("--leaf", type=int, default=64)
     ap.add_argument("--out", default="/tmp/large_mesh.png")
     args = ap.parse_args()
 
@@ -44,9 +46,13 @@ def main():
     from ilgpu_raytracing_tpu.runtime.renderer import Renderer
 
     t0 = time.time()
-    _, scene = build_terrain_scene(grid_x=args.grid_x, grid_z=args.grid_z)
+    _, scene = build_terrain_scene(
+        grid_x=args.grid_x, grid_z=args.grid_z,
+        blas_leaf_size=args.leaf, bvh_method=args.bvh,
+    )
     n_tris = int(scene.tri_v0.shape[0])
-    print(f"scene: {n_tris} tris, built in {time.time()-t0:.1f}s")
+    print(f"scene: {n_tris} tris, built in {time.time()-t0:.1f}s "
+          f"({args.bvh} leaf={args.leaf})", flush=True)
 
     cfg = RenderConfig(spp=2, max_depth=args.max_depth)
     r = Renderer(
@@ -54,7 +60,8 @@ def main():
         camera=terrain_camera(args.width, args.height),
     )
     kind = type(r.pscene).__name__ if r.pscene is not None else "XLA"
-    print(f"tracer: {kind}")
+    print(f"tracer: {kind}; scene-to-kernel-ready {time.time()-t0:.1f}s",
+          flush=True)
 
     import numpy as np
 

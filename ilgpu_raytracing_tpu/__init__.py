@@ -19,4 +19,29 @@ packet-traversal kernel for the performance path).
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache for EVERY consumer of the package
+    (tools, examples, bench -- not just tests/conftest and the driver
+    entry, which wired it separately first). The TPU frame graph
+    cold-compiles in minutes through the remote compiler; a warm cache
+    replays it in seconds. Opt out with ILGPU_RT_NO_COMPILE_CACHE=1."""
+    if _os.environ.get("ILGPU_RT_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache = _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
+        cache = _os.path.abspath(cache)
+        _os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compile_cache()
+
 from ilgpu_raytracing_tpu.config import RenderConfig  # noqa: F401

@@ -36,6 +36,7 @@ integrator (so traversal stays out of this module).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -180,13 +181,21 @@ def _import_from_prev(res, state, res_packed, gb_packed, own_obj, own_z,
                       mix_local, mix_delta, sun_radiance, sky_top, sky_bottom,
                       reference_weighting: bool):
     """Import + re-score a prev-frame reservoir (RTRay.cs:407-435) fetched
-    by array position (temporal reprojection): two row-gathers, the packed
-    prev reservoir and the packed neighbor G-buffer row."""
+    by array position (temporal reprojection): one fused row-gather carrying
+    the packed prev reservoir and the packed neighbor G-buffer row."""
     n_res = res_packed.shape[0]
     valid = mask & (prev_idx >= 0) & (prev_idx < n_res)
     safe = jnp.maximum(prev_idx, 0)
-    gbr = jnp.take(gb_packed, safe, axis=0, mode="clip")
-    row = jnp.take(res_packed, safe, axis=0, mode="clip")
+    # ONE fused (N,19) row gather: TPU gather cost is dominated by a
+    # per-gather fixed term, near-flat in row width (round-4 microbench at
+    # 1.8M rows: (N,2) and (N,6) row gathers cost within ~2x of each other
+    # while a second gather doubles the cost), so the reservoir and
+    # G-buffer rows ride the same gather.
+    both = jnp.take(
+        jnp.concatenate([res_packed, gb_packed], axis=1), safe, axis=0,
+        mode="clip",
+    )
+    row, gbr = both[:, :12], both[:, 12:]
     return _import_rows(
         res, state, row, gbr, valid, own_obj, own_z, cam_origin, n, albedo,
         mix_local, mix_delta, sun_radiance, sky_top, sky_bottom,
@@ -413,9 +422,22 @@ def restir_direct(
     if static_reuse:
         res_packed = _pack_reservoirs(res_prev)
         gb_packed = _pack_gbuffer(gb)
-        take = lambda a: jnp.take(a, pixel_idx, axis=0, mode="clip")
-        own_obj = take(gb.obj_id)
-        own_z = vec.length(take(gb.pos) - cam_origin)
+        # own-pixel fetch: pixel_idx is always `reps` tiled copies of a
+        # contiguous pixel range (the integrator chunks by slicing), so the
+        # own rows come from ONE dynamic slice + tile instead of two (N,)
+        # gathers (~12 ms each at 1.8M lanes on v5e).
+        start = pixel_idx[0]
+        m_px = pos.shape[0] // max(1, reps)
+        own_sl = jax.lax.dynamic_slice(
+            jnp.concatenate(
+                [gb.pos, gb.obj_id.astype(jnp.float32)[:, None]], axis=1
+            ),
+            (start, jnp.int32(0)), (m_px, 4),
+        )
+        if reps > 1:
+            own_sl = jnp.tile(own_sl, (reps, 1))
+        own_obj = own_sl[:, 3].astype(jnp.int32)
+        own_z = vec.length(own_sl[:, 0:3] - cam_origin)
 
         # (3) temporal reuse via camera reprojection
         prev_idx = reproject_to_prev_pixel(pos, prev_cam, width, height)
@@ -435,8 +457,6 @@ def restir_direct(
         fetch = _spatial_row_fetcher(
             res_packed, gb_packed, width, height, frame
         )
-        start = pixel_idx[0]
-        m_px = pos.shape[0] // max(1, reps)
         for slot in range(len(_NEIGHBOR_BASE)):
             row12, gbr7 = fetch(slot, start, m_px)
             if reps > 1:

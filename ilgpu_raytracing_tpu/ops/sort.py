@@ -199,6 +199,11 @@ def sorted_shadow(shadow_fn, o, d, active, morton_bounds=None):
         rows = jnp.concatenate([o, d], axis=1)
         rs = jnp.take(rows, perm, axis=0)
     occ = shadow_fn(rs[:, 0:3], rs[:, 3:6], act_s)
-    # gather as i32: a pred (1-bit packed) gather costs ~7 ms at 901k
+    # gather as a duplicated (N,2) i32 row: XLA lowers a 1-D (N,) i32
+    # gather ~1.6x slower than a 2-column row gather at 1.8M lanes
+    # (measured v5e round 4: 11.1 vs 7.1 ms over the fetch floor), so
+    # padding the occlusion word with a throwaway column is a net win
+    # of ~4-5 ms per shadow unsort despite moving twice the bytes.
     with jax.named_scope("glue_unsort"):
-        return jnp.take(occ.astype(jnp.int32), pos, axis=0) != 0
+        occ2 = jnp.stack([occ, occ], axis=1).astype(jnp.int32)
+        return jnp.take(occ2, pos, axis=0)[:, 0] != 0

@@ -137,7 +137,7 @@ def run_frametime():
         tess=24, sphere_tess=(48, 72), blas_leaf_size=8, bvh_method="sah"
     )
     print("bench frame (cornell 1080p presented, spp=2 depth=3):")
-    for c in (8, 4, 2):
+    for c in _COUNTS:
         cfg = RenderConfig(spp=2, max_depth=3, local_candidates=c)
         r = Renderer(out_w=1920, out_h=1080, cfg=cfg, scene=scene,
                      camera=cornell_camera(1920, 1080))
@@ -152,11 +152,20 @@ def run_frametime():
         print(f"  c={c}: {best*1e3:7.1f} ms/frame", flush=True)
 
 
+_COUNTS = (8, 4, 2)
+
+
 def main():
+    global _COUNTS
     ap = argparse.ArgumentParser()
     ap.add_argument("--variance", action="store_true")
     ap.add_argument("--frametime", action="store_true")
+    ap.add_argument("--counts", default="8,4,2",
+                    help="candidate counts, comma-separated (order = run "
+                         "order; reversing isolates process-cumulative "
+                         "slowdown from the count effect)")
     args = ap.parse_args()
+    _COUNTS = tuple(int(c) for c in args.counts.split(","))
 
     import jax
 

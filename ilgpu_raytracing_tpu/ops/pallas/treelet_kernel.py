@@ -108,6 +108,68 @@ def prepare_treelets(wscene: WideScene, n_target: int = 32) -> TreeletScene:
     wb_all = np.asarray(wscene.wide_bounds).reshape(-1, WIDTH, 6).copy()
     wp_all = np.asarray(wscene.wide_perm).reshape(-1, WIDTH).copy()
 
+    frontier, wc_all, wb_all, wp_all = _cut_wide_tree(
+        wc_all, wb_all, wp_all, wscene.meta, n_target, lambda c: 1
+    )
+
+    T = len(frontier)
+    spans = []
+    for k, e in enumerate(frontier):
+        if not spans or spans[-1][0] != e["mi"]:
+            spans.append([e["mi"], k, k + 1])
+        else:
+            spans[-1][2] = k + 1
+    t_root = np.full((T + 1,), -1, np.int32)
+    t_inst = np.zeros((T + 1,), np.int32)
+    t_w2o = np.tile(
+        np.array([1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0], np.float32), T + 1
+    ).reshape(T + 1, 12)
+    t_bounds = np.zeros((T, 6), np.float32)
+    t_inst_idx = np.zeros((T,), np.int32)
+    all_identity = True
+    for k, e in enumerate(frontier):
+        kind, _root, w2o, _wb, inst_id = wscene.meta[e["mi"]]
+        t_root[k] = e["root"]
+        t_inst[k] = inst_id * 4 + (
+            KIND_TRI if kind == BLAS_TRI_MESH else KIND_SPHERE
+        )
+        t_w2o[k] = np.asarray(w2o, np.float32)
+        t_bounds[k] = e["bounds"]
+        t_inst_idx[k] = e["mi"]
+        if not _is_identity(w2o):
+            all_identity = False
+
+    # synthetic nesting can deepen the walk; re-derive the SMEM stack bound
+    # from the actual treelet roots on the extended table
+    from ilgpu_raytracing_tpu.ops.pallas.wide_kernel import _stack_bound
+
+    cap = _stack_bound(wc_all, [e["root"] for e in frontier]) + WIDTH
+    wscene2 = wscene.replace(
+        wide_child=jnp.asarray(wc_all.reshape(-1)),
+        wide_bounds=jnp.asarray(wb_all.reshape(-1)),
+        wide_perm=jnp.asarray(wp_all.reshape(-1).astype(np.int32)),
+        stack_cap=max(wscene.stack_cap, int(cap), 64),
+    )
+    return TreeletScene(
+        wscene=wscene2,
+        t_root=jnp.asarray(t_root),
+        t_inst=jnp.asarray(t_inst),
+        t_w2o=jnp.asarray(t_w2o.reshape(-1)),
+        t_bounds=jnp.asarray(t_bounds),
+        t_inst_idx=jnp.asarray(t_inst_idx),
+        inst_spans=tuple(tuple(s) for s in spans),
+        n_treelets=T,
+        all_identity=all_identity,
+    )
+
+
+def _cut_wide_tree(wc_all, wb_all, wp_all, meta, n_target, enc_rows):
+    """Shared treelet cut over an 8-wide child table (VMEM wide kernel and
+    HBM stream kernel differ only in leaf encoding density: `enc_rows`
+    maps a leaf child encoding to its packed row count). Returns
+    (frontier entries, extended wc/wb/wp) with synthetic grouping nodes
+    appended; `wb_all` rows for synthetics carry exact f32 bounds (the
+    stream caller re-quantizes just those rows)."""
     n_wide = wc_all.shape[0]
     sub_rows = np.zeros(n_wide, np.int64)
 
@@ -122,7 +184,7 @@ def prepare_treelets(wscene: WideScene, n_target: int = 32) -> TreeletScene:
                     if c >= 0:
                         r += sub_rows[c]
                     elif c <= -2:
-                        r += 1
+                        r += enc_rows(int(c))
                 sub_rows[x] = max(r, 1)
                 continue
             if sub_rows[x]:
@@ -163,7 +225,7 @@ def prepare_treelets(wscene: WideScene, n_target: int = 32) -> TreeletScene:
     # bin-packing below can balance bins to ~total/n_target each
     fine: list[dict] = []
     total_rows = 0
-    for mi, (kind, root, w2o, wbounds, inst_id) in enumerate(wscene.meta):
+    for mi, (kind, root, w2o, wbounds, inst_id) in enumerate(meta):
         count_rows(root)
         fine.append(dict(
             root=int(root), rows=int(sub_rows[root]), mi=mi,
@@ -196,7 +258,8 @@ def prepare_treelets(wscene: WideScene, n_target: int = 32) -> TreeletScene:
                     for ci in leaf_ci]
             bb = np.stack([b for _e, b in kids])
             fine.append(dict(
-                root=synth_node(kids), rows=len(kids), mi=cand["mi"],
+                root=synth_node(kids),
+                rows=sum(enc_rows(e) for e, _b in kids), mi=cand["mi"],
                 bounds=np.concatenate([bb[:, 0:3].min(0), bb[:, 3:6].max(0)]),
                 splittable=False,
             ))
@@ -284,55 +347,7 @@ def prepare_treelets(wscene: WideScene, n_target: int = 32) -> TreeletScene:
         ])
         wp_all = np.concatenate([wp_all, perms_extra], axis=0)
 
-    T = len(frontier)
-    spans = []
-    for k, e in enumerate(frontier):
-        if not spans or spans[-1][0] != e["mi"]:
-            spans.append([e["mi"], k, k + 1])
-        else:
-            spans[-1][2] = k + 1
-    t_root = np.full((T + 1,), -1, np.int32)
-    t_inst = np.zeros((T + 1,), np.int32)
-    t_w2o = np.tile(
-        np.array([1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0], np.float32), T + 1
-    ).reshape(T + 1, 12)
-    t_bounds = np.zeros((T, 6), np.float32)
-    t_inst_idx = np.zeros((T,), np.int32)
-    all_identity = True
-    for k, e in enumerate(frontier):
-        kind, _root, w2o, _wb, inst_id = wscene.meta[e["mi"]]
-        t_root[k] = e["root"]
-        t_inst[k] = inst_id * 4 + (
-            KIND_TRI if kind == BLAS_TRI_MESH else KIND_SPHERE
-        )
-        t_w2o[k] = np.asarray(w2o, np.float32)
-        t_bounds[k] = e["bounds"]
-        t_inst_idx[k] = e["mi"]
-        if not _is_identity(w2o):
-            all_identity = False
-
-    # synthetic nesting can deepen the walk; re-derive the SMEM stack bound
-    # from the actual treelet roots on the extended table
-    from ilgpu_raytracing_tpu.ops.pallas.wide_kernel import _stack_bound
-
-    cap = _stack_bound(wc_all, [e["root"] for e in frontier]) + WIDTH
-    wscene2 = wscene.replace(
-        wide_child=jnp.asarray(wc_all.reshape(-1)),
-        wide_bounds=jnp.asarray(wb_all.reshape(-1)),
-        wide_perm=jnp.asarray(wp_all.reshape(-1).astype(np.int32)),
-        stack_cap=max(wscene.stack_cap, int(cap), 64),
-    )
-    return TreeletScene(
-        wscene=wscene2,
-        t_root=jnp.asarray(t_root),
-        t_inst=jnp.asarray(t_inst),
-        t_w2o=jnp.asarray(t_w2o.reshape(-1)),
-        t_bounds=jnp.asarray(t_bounds),
-        t_inst_idx=jnp.asarray(t_inst_idx),
-        inst_spans=tuple(tuple(s) for s in spans),
-        n_treelets=T,
-        all_identity=all_identity,
-    )
+    return frontier, wc_all, wb_all, wp_all
 
 
 def _dyn_transform(w2o_ref, base, ox, oy, oz, dx, dy, dz):

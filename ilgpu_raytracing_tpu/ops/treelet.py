@@ -51,15 +51,17 @@ from ilgpu_raytracing_tpu.ops.sort import _bc, _bi, _perm_from_key
 _LANES = 128
 
 
-def _slab_tlo(ts: "tlk.TreeletScene", o, d, t_cap):
+def _slab_tlo_tables(meta, inst_spans, t_bounds, o, d, t_cap):
     """(N, T) conservative entry t of each ray into each treelet's
     object-space AABB; +inf where the slab test misses or the lane is
     inactive (t_cap == 0). Same slab arithmetic as the kernel
-    (_child_slab): lo clamped to T_EPS, accept hi >= lo and lo <= t_cap."""
+    (_child_slab): lo clamped to T_EPS, accept hi >= lo and lo <= t_cap.
+    Shared by the VMEM (TreeletScene) and stream (StreamTreeletScene)
+    orchestrations -- both carry (meta, inst_spans, t_bounds) tables."""
     n = o.shape[0]
     cols = []
-    for mi, start, end in ts.inst_spans:
-        kind, root, w2o, wbounds, inst_id = ts.wscene.meta[mi]
+    for mi, start, end in inst_spans:
+        kind, root, w2o, wbounds, inst_id = meta[mi]
         if _is_identity(w2o):
             oo, dd = o, d
         else:
@@ -67,7 +69,7 @@ def _slab_tlo(ts: "tlk.TreeletScene", o, d, t_cap):
             oo = o @ m[:, 0:3].T + m[:, 3]
             dd = d @ m[:, 0:3].T
         inv = 1.0 / jnp.where(dd != 0.0, dd, 1e-8)
-        b = ts.t_bounds[start:end]  # (S, 6)
+        b = t_bounds[start:end]  # (S, 6)
         lo = jnp.full((n, end - start), T_EPS, jnp.float32)
         hi = jnp.full((n, end - start), jnp.inf, jnp.float32)
         for ax in range(3):
@@ -78,6 +80,12 @@ def _slab_tlo(ts: "tlk.TreeletScene", o, d, t_cap):
         ok = (hi >= lo) & (lo <= t_cap[:, None])
         cols.append(jnp.where(ok, lo, jnp.inf))
     return jnp.concatenate(cols, axis=1)
+
+
+def _slab_tlo(ts: "tlk.TreeletScene", o, d, t_cap):
+    return _slab_tlo_tables(
+        ts.wscene.meta, ts.inst_spans, ts.t_bounds, o, d, t_cap
+    )
 
 
 def _pad_len(n: int, tile_rows: int) -> int:
@@ -292,6 +300,136 @@ def _meta_is_tri(meta_entry) -> bool:
     from ilgpu_raytracing_tpu.models.scene import BLAS_TRI_MESH
 
     return meta_entry[0] == BLAS_TRI_MESH
+
+
+def trace_closest_treelet_stream_packed(
+    sts, o, d, active=None, t_max=None,
+    tile_rows: int | None = None, interpret: bool | None = None,
+    max_rounds: int | None = None, with_rounds: bool = False,
+    cleanup_after: int | None = None,
+):
+    """Stream-kernel treelet rounds (the round-4 pivot executed): same
+    scheme as trace_closest_treelet_packed -- one nearest-treelet sort,
+    near-first visit rounds with running per-lane t_best, per-packet i32
+    want masks -- but each round's drains stream multi-row leaves from HBM
+    through the double-buffered DMA kernel
+    (ops/pallas/streamtreelet_kernel.py). `sts` comes from
+    prepare_treelets_stream. Miss/inactive semantics match
+    trace_closest_stream_packed; `cleanup_after=k` resolves the pending
+    tail after k rounds with ONE flat stream dispatch at per-lane
+    t_max = running t_best (exact either way)."""
+    from ilgpu_raytracing_tpu.ops.pallas import stream_kernel as sk
+    from ilgpu_raytracing_tpu.ops.pallas import streamtreelet_kernel as tlsk
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if tile_rows is None:
+        tile_rows = sk.TILE_ROWS
+    n = o.shape[0]
+    if t_max is None:
+        t_max = jnp.full((n,), T_INF, jnp.float32)
+    else:
+        t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    if active is not None:
+        t_max = jnp.where(active, t_max, 0.0)
+
+    T = sts.n_treelets
+    assert T <= 32
+    arrays = tlsk.treelet_stream_arrays(sts)
+    s = sts.sscene
+
+    def run_round(mask, o_s, d_s, tm):
+        return tlsk.run_treelet_stream_trace(
+            arrays, mask, o_s, d_s, tm, T, interpret=interpret,
+            tile_rows=tile_rows, stack_cap=s.stack_cap,
+            rows_per_leaf=s.rows_per_leaf, any_spheres=sts.any_spheres,
+        )
+
+    with jax.named_scope("glue_sortperm"):
+        t_lo_u = _slab_tlo_tables(
+            s.meta, sts.inst_spans, sts.t_bounds, o, d, t_max
+        )
+        cmin_u = jnp.min(t_lo_u, axis=1)
+        tid_u = jnp.argmin(t_lo_u, axis=1).astype(jnp.int32)
+        key = jnp.where(jnp.isfinite(cmin_u), tid_u, jnp.int32(T))
+        perm, pos = _perm_from_key(key, T + 1)
+    with jax.named_scope("glue_sortgather"):
+        rows = jnp.concatenate([o, d, t_max[:, None]], axis=1)
+        rs = jnp.take(rows, perm, axis=0)
+        o_s, d_s, tm_s = rs[:, 0:3], rs[:, 3:6], rs[:, 6]
+
+    t_lo = _slab_tlo_tables(s.meta, sts.inst_spans, sts.t_bounds,
+                            o_s, d_s, tm_s)
+
+    n_pad = _pad_len(n, tile_rows)
+    g = n_pad // (tile_rows * _LANES)
+    bits_tbl = jnp.left_shift(jnp.int32(1), jnp.arange(T, dtype=jnp.int32))
+
+    r_cap = T if max_rounds is None else min(max_rounds, T)
+    if cleanup_after is not None:
+        r_cap = min(r_cap, cleanup_after)
+
+    def cond(c):
+        t_best, pp_s, t_lo, it = c
+        return (it < r_cap) & jnp.any(jnp.min(t_lo, axis=1) < t_best)
+
+    def body(c):
+        t_best, pp_s, t_lo, it = c
+        cand = jnp.where(t_lo < t_best[:, None], t_lo, jnp.inf)
+        cmin = jnp.min(cand, axis=1)
+        tid = jnp.argmin(cand, axis=1).astype(jnp.int32)
+        pending = cmin < t_best
+        bit = jnp.where(pending, jnp.take(bits_tbl, tid), jnp.int32(0))
+        bit_p = jnp.pad(bit, (0, n_pad - n)).reshape(g, tile_rows * _LANES)
+        mask = lax.reduce(bit_p, np.int32(0), lax.bitwise_or, (1,))
+        t_r, pp_r = run_round(
+            mask, o_s, d_s, jnp.where(pending, t_best, 0.0)
+        )
+        improved = pp_r >= 0
+        t_best = jnp.where(improved, t_r, t_best)
+        pp_s = jnp.where(improved, pp_r, pp_s)
+        lane_mask = jnp.repeat(mask, tile_rows * _LANES)[:n]
+        vis = ((lane_mask[:, None] >> jnp.arange(T, dtype=jnp.int32)[None, :])
+               & 1) != 0
+        t_lo = jnp.where(vis & pending[:, None], jnp.inf, t_lo)
+        return t_best, pp_s, t_lo, it + 1
+
+    t_best, pp_s, t_lo, it = lax.while_loop(
+        cond, body,
+        (tm_s, jnp.full((n,), -1, jnp.int32), t_lo, jnp.int32(0)),
+    )
+
+    if cleanup_after is not None and max_rounds is None:
+        pend = jnp.min(t_lo, axis=1) < t_best
+        t_c, pp_c = sk.trace_closest_stream_packed(
+            s, o_s, d_s, t_max=jnp.where(pend, t_best, 0.0),
+            interpret=interpret, tile_rows=tile_rows,
+        )
+        improved = pp_c >= 0
+        t_best = jnp.where(improved, t_c, t_best)
+        pp_s = jnp.where(improved, pp_c, pp_s)
+
+    with jax.named_scope("glue_unsort"):
+        out = jnp.concatenate([t_best[:, None], _bc(pp_s)[:, None]], axis=1)
+        ro = jnp.take(out, pos, axis=0)
+    if with_rounds:
+        return ro[:, 0], _bi(ro[:, 1]), it
+    return ro[:, 0], _bi(ro[:, 1])
+
+
+def trace_closest_treelet_stream(sts, o, d, active=None, t_max=None,
+                                 tile_rows: int | None = None,
+                                 interpret: bool | None = None):
+    """HitRecord stream treelet trace (rounds + stream decode epilogue)."""
+    from ilgpu_raytracing_tpu.ops.pallas.stream_kernel import (
+        decode_stream_hits,
+    )
+
+    t, pp = trace_closest_treelet_stream_packed(
+        sts, o, d, active=active, t_max=t_max, tile_rows=tile_rows,
+        interpret=interpret,
+    )
+    return decode_stream_hits(sts.sscene, o, d, t, pp)
 
 
 def trace_closest_treelet(ts, o, d, active=None, t_max=None,

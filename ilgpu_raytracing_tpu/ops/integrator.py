@@ -92,7 +92,8 @@ def _trace_fns(pscene):
     return pallas_tk.trace_closest_pallas, pallas_tk.shadow_occlusion_pallas
 
 
-def _trace(scene, pscene, o, d, active=None, sort=False, morton_bounds=None):
+def _trace(scene, pscene, o, d, active=None, sort=False, morton_bounds=None,
+           treelet_bounds=None):
     """Closest-hit dispatch: pallas packet kernel (8-wide or binary) when a
     prepared scene is supplied, XLA while-loop tracer otherwise. Primary
     batches arrive coherent in the frame's static block-linear order
@@ -131,14 +132,15 @@ def _trace(scene, pscene, o, d, active=None, sort=False, morton_bounds=None):
             return sort_mod.sorted_closest_packed(
                 lambda oo, dd, act: packed(pscene, oo, dd, active=act),
                 lambda t, pp: decode(pscene, o, d, t, pp),
-                o, d, active, morton_bounds,
+                o, d, active, morton_bounds, treelet_bounds,
             )
-        return sort_mod.sorted_closest(run, o, d, active, morton_bounds)
+        return sort_mod.sorted_closest(run, o, d, active, morton_bounds,
+                                       treelet_bounds)
     return run(o, d, active)
 
 
 def _shadow(scene, pscene, o, d, t_max, active=None, sort=False,
-            morton_bounds=None):
+            morton_bounds=None, treelet_bounds=None):
     if pscene is None:
         return traverse.shadow_occlusion(scene, o, d, t_max, active=active)
     kw = {}
@@ -163,7 +165,8 @@ def _shadow(scene, pscene, o, d, t_max, active=None, sort=False,
             "sorted shadow path requires a scalar t_max (per-lane t_max "
             "would need to ride the sort permutation; see ops/sort.py)"
         )
-        return sort_mod.sorted_shadow(run, o, d, active, morton_bounds)
+        return sort_mod.sorted_shadow(run, o, d, active, morton_bounds,
+                                      treelet_bounds)
     return run(o, d, active)
 
 
@@ -274,6 +277,17 @@ def _path_trace_block(
         bmin = jnp.min(scene.inst_bmin, axis=0)
         bmax = jnp.max(scene.inst_bmax, axis=0)
         morton_bounds = (bmin, 1.0 / jnp.maximum(bmax - bmin, 1e-6))
+    # HBM-streaming scenes: destination-treelet minor key instead of
+    # origin-morton (config.sort_stream_treelet_key; measured 1.16x closest
+    # / 1.38x shadow at 1M tris, BENCHLOG round 4)
+    treelet_bounds = None
+    if (
+        cfg.sort_bounce_rays
+        and cfg.sort_stream_treelet_key
+        and isinstance(pscene, pallas_sk.StreamScene)
+        and pscene.sortkey_bounds is not None
+    ):
+        treelet_bounds = pscene.sortkey_bounds
 
     def tile(x):
         return jnp.tile(x, (spp,) + (1,) * (x.ndim - 1))
@@ -371,6 +385,7 @@ def _path_trace_block(
                 scene, pscene, shadow_o, sel["wi"], 1e29,
                 active=sel["ok"] & (~sun_sel), sort=cfg.sort_bounce_rays,
                 morton_bounds=morton_bounds,
+                treelet_bounds=treelet_bounds,
             )
             occluded = jnp.where(sun_sel, sun_occ0, traced)
             # dedup honesty: sun-substituted lanes were NOT traced in this
@@ -381,6 +396,7 @@ def _path_trace_block(
             occluded = _shadow(
                 scene, pscene, shadow_o, sel["wi"], 1e29, active=sel["ok"],
                 sort=cfg.sort_bounce_rays, morton_bounds=morton_bounds,
+                treelet_bounds=treelet_bounds,
             )
             eff = eff + jnp.sum(sel["ok"].astype(jnp.float32))
         direct = jnp.where(
@@ -440,6 +456,7 @@ def _path_trace_block(
             occluded = _shadow(
                 scene, pscene, ray_o, new_dir, 1e29, active=trace_active,
                 sort=cfg.sort_bounce_rays, morton_bounds=morton_bounds,
+                treelet_bounds=treelet_bounds,
             )
             missed = trace_active & (~occluded)
             li = li + jnp.where(
@@ -452,6 +469,7 @@ def _path_trace_block(
             hit = _trace(
                 scene, pscene, ray_o, new_dir, active=trace_active,
                 sort=cfg.sort_bounce_rays, morton_bounds=morton_bounds,
+                treelet_bounds=treelet_bounds,
             )
             with jax.named_scope("glue_shade"):
                 surf = traverse.shade_hits(scene, hit, ray_o, new_dir)

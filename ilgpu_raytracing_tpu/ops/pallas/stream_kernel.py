@@ -148,6 +148,11 @@ class StreamScene:
     # a TPU slice"; image-space data parallelism, SURVEY.md parallelism
     # axis). Set via with_mesh(); same contract as wide_kernel.WideScene.
     mesh: object = struct.field(pytree_node=False, default=None)
+    # (T,6) world-space treelet AABBs for the DESTINATION sort key
+    # (models/bvh.cut_scene_treelets; consumed by ops/sort._ray_perm when
+    # config.sort_stream_treelet_key): measured 1.16x bounce closest /
+    # 1.38x sun shadow over origin-morton at 1M tris (BENCHLOG round 4)
+    sortkey_bounds: jnp.ndarray = None
 
 
 def with_mesh(sscene: StreamScene, mesh) -> StreamScene:
@@ -364,11 +369,14 @@ def prepare_stream(scene: SceneData, resident: bool = False) -> StreamScene:
     for kind, _wid, w2o, _wb, inst_id in meta:
         inst_w2o[inst_id] = np.asarray(w2o, np.float32)
 
+    from ilgpu_raytracing_tpu.models.bvh import cut_scene_treelets
+
     return StreamScene(
         wide_frame=jnp.asarray(wf_all.reshape(-1)),
         wide_qbounds=jnp.asarray(wq_all.reshape(-1)),
         wide_child=jnp.asarray(wc_all.reshape(-1)),
         wide_perm=jnp.asarray(perms.reshape(-1).astype(np.int32)),
+        sortkey_bounds=jnp.asarray(cut_scene_treelets(scene, 32)),
         tri_rows=jnp.asarray(tri),
         sph_rows=jnp.asarray(rows_or_dummy(sph_rows)),
         tri_v0e=jnp.concatenate(

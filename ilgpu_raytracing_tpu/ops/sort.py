@@ -90,23 +90,61 @@ def _morton4(o: jnp.ndarray, bmin, inv_ext) -> jnp.ndarray:
     )
 
 
-def _ray_perm(o, d, active, morton_bounds):
-    """(perm, pos) ordering rays by (alive, direction octant[, origin
-    morton]). One counting-sort pass either way: the refined key is
-    octant*16+morton4 for live lanes with all dead lanes in one tail bin
-    (129 bins; one-hot/cumsum cost is linear in bins)."""
-    if morton_bounds is None:
-        return _perm_from_key(octant_alive_key(d, active))
-    bmin, inv_ext = morton_bounds
-    octant = (
+def _octant3(d):
+    return (
         ((d[:, 0] > 0).astype(jnp.int32) << 2)
         | ((d[:, 1] > 0).astype(jnp.int32) << 1)
         | (d[:, 2] > 0).astype(jnp.int32)
     )
+
+
+def _ray_perm(o, d, active, morton_bounds, treelet_bounds=None):
+    """(perm, pos) ordering rays by (alive, direction octant[, origin
+    morton | destination treelet]). One counting-sort pass either way.
+
+    Default refined key: octant*16+morton4 for live lanes with all dead
+    lanes in one tail bin (129 bins; one-hot/cumsum cost is linear in
+    bins). With `treelet_bounds` (a (T,6) world-space subtree-AABB table,
+    models/bvh.cut_scene_treelets), the minor key is instead the treelet
+    the ray's slab entry reaches FIRST -- destination locality, measured
+    1.16x on bounce closest / 1.38x on sun shadows over origin-morton on
+    the 1M-tri stream scene at equal perm-build cost (BENCHLOG round 4,
+    tools/streamkey_ab.py). Live rays that miss every treelet sort into
+    their own live bin just before the dead tail (ordering only -- trace
+    results never depend on the key)."""
+    if treelet_bounds is not None:
+        t_lo = _slab_entry(treelet_bounds, o, d)
+        tid = jnp.argmin(t_lo, axis=1).astype(jnp.int32)
+        covered = jnp.isfinite(jnp.min(t_lo, axis=1))
+        T = treelet_bounds.shape[0]
+        groups = 8 * T
+        key = _octant3(d) * T + tid
+        key = jnp.where(covered, key, jnp.int32(groups))
+        key = jnp.where(active, key, jnp.int32(groups + 1))
+        return _perm_from_key(key, groups + 2)
+    if morton_bounds is None:
+        return _perm_from_key(octant_alive_key(d, active))
+    bmin, inv_ext = morton_bounds
     key = jnp.where(
-        active, octant * 16 + _morton4(o, bmin, inv_ext), jnp.int32(128)
+        active, _octant3(d) * 16 + _morton4(o, bmin, inv_ext),
+        jnp.int32(128),
     )
     return _perm_from_key(key, 129)
+
+
+def _slab_entry(bounds, o, d):
+    """(N, T) slab entry t of each ray into each world-space AABB; +inf on
+    miss. Sort-key arithmetic (matches ops/treelet._slab_tlo_tables with
+    identity transform; approximate keys are fine, results exact)."""
+    inv = 1.0 / jnp.where(d != 0.0, d, 1e-8)
+    lo = jnp.full((o.shape[0], bounds.shape[0]), 1e-4, jnp.float32)
+    hi = jnp.full_like(lo, jnp.inf)
+    for ax in range(3):
+        t1 = (bounds[None, :, ax] - o[:, None, ax]) * inv[:, None, ax]
+        t2 = (bounds[None, :, 3 + ax] - o[:, None, ax]) * inv[:, None, ax]
+        lo = jnp.maximum(lo, jnp.minimum(t1, t2))
+        hi = jnp.minimum(hi, jnp.maximum(t1, t2))
+    return jnp.where(hi >= lo, lo, jnp.inf)
 
 
 def octant_alive_key(d: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray:
@@ -127,14 +165,15 @@ def _bi(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
-def sorted_closest(trace_fn, o, d, active, morton_bounds=None):
+def sorted_closest(trace_fn, o, d, active, morton_bounds=None,
+                   treelet_bounds=None):
     """trace_fn(o, d, active) -> HitRecord, on (alive, octant[, origin
     morton])-sorted rays, results restored to original order. One packed
     row gather each way. `morton_bounds` = (bmin, inv_ext) scene-bounds
     quantization for the Morton refinement; None keeps the octant-only
     key."""
     with jax.named_scope("glue_sortperm"):
-        perm, pos, act_s = _sorted_rays(o, d, active, morton_bounds)
+        perm, pos, act_s = _sorted_rays(o, d, active, morton_bounds, treelet_bounds)
     with jax.named_scope("glue_sortgather"):
         rows = jnp.concatenate([o, d], axis=1)
         rs = jnp.take(rows, perm, axis=0)
@@ -155,20 +194,20 @@ def sorted_closest(trace_fn, o, d, active, morton_bounds=None):
     )
 
 
-def _sorted_rays(o, d, active, morton_bounds):
+def _sorted_rays(o, d, active, morton_bounds, treelet_bounds=None):
     """(perm, pos, sorted_active). The sort key puts every live lane
     before every dead one (dead lanes share the single tail bin and the
     counting sort is stable), so the sorted active mask is just
     iota < n_alive -- no need to carry an active column through the packed
     row gather."""
-    perm, pos = _ray_perm(o, d, active, morton_bounds)
+    perm, pos = _ray_perm(o, d, active, morton_bounds, treelet_bounds)
     n_alive = jnp.sum(active.astype(jnp.int32))
     act_s = jnp.arange(o.shape[0], dtype=jnp.int32) < n_alive
     return perm, pos, act_s
 
 
 def sorted_closest_packed(trace_fn, decode_fn, o, d, active,
-                          morton_bounds=None):
+                          morton_bounds=None, treelet_bounds=None):
     """Sorted closest trace for kernels with a packed two-field hit record
     (wide/stream kernels: t + prim|inst i32, barycentrics recomputed in an
     XLA epilogue). The epilogue runs AFTER the un-permute, against the
@@ -179,7 +218,7 @@ def sorted_closest_packed(trace_fn, decode_fn, o, d, active,
     trace_fn(o, d, active) -> (t, pp); decode_fn(t, pp) -> HitRecord in
     original lane order (close over the original o/d)."""
     with jax.named_scope("glue_sortperm"):
-        perm, pos, act_s = _sorted_rays(o, d, active, morton_bounds)
+        perm, pos, act_s = _sorted_rays(o, d, active, morton_bounds, treelet_bounds)
     with jax.named_scope("glue_sortgather"):
         rows = jnp.concatenate([o, d], axis=1)
         rs = jnp.take(rows, perm, axis=0)
@@ -191,10 +230,11 @@ def sorted_closest_packed(trace_fn, decode_fn, o, d, active,
         return decode_fn(ro[:, 0], _bi(ro[:, 1]))
 
 
-def sorted_shadow(shadow_fn, o, d, active, morton_bounds=None):
+def sorted_shadow(shadow_fn, o, d, active, morton_bounds=None,
+                  treelet_bounds=None):
     """shadow_fn(o, d, active) -> (N,) bool, sorted like sorted_closest."""
     with jax.named_scope("glue_sortperm"):
-        perm, pos, act_s = _sorted_rays(o, d, active, morton_bounds)
+        perm, pos, act_s = _sorted_rays(o, d, active, morton_bounds, treelet_bounds)
     with jax.named_scope("glue_sortgather"):
         rows = jnp.concatenate([o, d], axis=1)
         rs = jnp.take(rows, perm, axis=0)

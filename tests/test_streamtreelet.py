@@ -130,3 +130,41 @@ def test_stream_treelet_primary_and_tmax():
     )
     np.testing.assert_array_equal(np.asarray(t_f), np.asarray(t_c))
     np.testing.assert_array_equal(np.asarray(pp_f), np.asarray(pp_c))
+
+
+def test_treelet_sort_key_dispatch_exact():
+    """The production destination-treelet sort key
+    (config.sort_stream_treelet_key -> sort._ray_perm treelet_bounds):
+    sorted dispatch through sorted_closest_packed / sorted_shadow matches
+    the unsorted flat kernel bit-for-bit, and prepare_stream ships the
+    (T,6) key table."""
+    from ilgpu_raytracing_tpu.ops import sort as sort_mod
+
+    scene, sscene = _scene()
+    assert sscene.sortkey_bounds is not None
+    assert sscene.sortkey_bounds.shape[1] == 6
+    o, d, active = _scatter_rays(scene, sscene, seed=9)
+    t_f, pp_f = sk.trace_closest_stream_packed(
+        sscene, o, d, active=active, interpret=True
+    )
+    hit = sort_mod.sorted_closest_packed(
+        lambda oo, dd, act: sk.trace_closest_stream_packed(
+            sscene, oo, dd, active=act, interpret=True),
+        lambda t, pp: sk.decode_stream_hits(sscene, o, d, t, pp),
+        o, d, active, None, sscene.sortkey_bounds,
+    )
+    flat = sk.decode_stream_hits(sscene, o, d, t_f, pp_f)
+    np.testing.assert_array_equal(np.asarray(flat.hit), np.asarray(hit.hit))
+    np.testing.assert_array_equal(np.asarray(flat.t), np.asarray(hit.t))
+    np.testing.assert_array_equal(np.asarray(flat.prim),
+                                  np.asarray(hit.prim))
+
+    occ_f = sk.shadow_occlusion_stream(
+        sscene, o, d, 1e29, active=active, interpret=True
+    )
+    occ_s = sort_mod.sorted_shadow(
+        lambda oo, dd, act: sk.shadow_occlusion_stream(
+            sscene, oo, dd, 1e29, active=act, interpret=True),
+        o, d, active, None, sscene.sortkey_bounds,
+    )
+    np.testing.assert_array_equal(np.asarray(occ_f), np.asarray(occ_s))

@@ -94,6 +94,11 @@ def treelet_entry(bounds, o, d, t_cap):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="terrain",
+                    choices=["terrain", "cornell"],
+                    help="terrain = 1M-tri stream kernel (config 5); "
+                         "cornell = 15.5k-tri VMEM wide kernel (the "
+                         "headline bench scene)")
     ap.add_argument("--grid-x", type=int, default=1024)
     ap.add_argument("--grid-z", type=int, default=512)
     ap.add_argument("--width", type=int, default=1280)
@@ -110,10 +115,6 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from ilgpu_raytracing_tpu.models.terrain import (
-        build_terrain_scene,
-        terrain_camera,
-    )
     from ilgpu_raytracing_tpu.ops import rays as rays_mod
     from ilgpu_raytracing_tpu.ops import sort as sort_mod
     from ilgpu_raytracing_tpu.ops import traverse
@@ -123,21 +124,52 @@ def main():
     from ilgpu_raytracing_tpu.utils import rng as rng_mod
 
     t0 = time.time()
-    _, scene = build_terrain_scene(
-        grid_x=args.grid_x, grid_z=args.grid_z,
-        blas_leaf_size=64, bvh_method="sah",
-    )
-    sscene = sk.prepare_stream(scene)
+    if args.scene == "terrain":
+        from ilgpu_raytracing_tpu.models.terrain import (
+            build_terrain_scene,
+            terrain_camera,
+        )
+
+        _, scene = build_terrain_scene(
+            grid_x=args.grid_x, grid_z=args.grid_z,
+            blas_leaf_size=64, bvh_method="sah",
+        )
+        cam_fn = terrain_camera
+        sscene = sk.prepare_stream(scene)
+        trace_packed = lambda oo, dd, act: sk.trace_closest_stream_packed(
+            sscene, oo, dd, active=act)
+        trace_full = lambda oo, dd: sk.trace_closest_stream(sscene, oo, dd)
+        shadow = lambda oo, dd, act: sk.shadow_occlusion_stream(
+            sscene, oo, dd, 1e29, active=act)
+    else:
+        from ilgpu_raytracing_tpu.models.cornell import (
+            build_cornell_scene,
+            cornell_camera,
+        )
+        from ilgpu_raytracing_tpu.ops.pallas import traverse_kernel as tk
+        from ilgpu_raytracing_tpu.ops.pallas import wide_kernel as wk
+
+        _, scene = build_cornell_scene(
+            tess=24, sphere_tess=(48, 72), blas_leaf_size=8,
+            bvh_method="sah",
+        )
+        cam_fn = cornell_camera
+        wscene = wk.prepare_wide(tk.prepare(scene))
+        trace_packed = lambda oo, dd, act: wk.trace_closest_wide_packed(
+            wscene, oo, dd, active=act)
+        trace_full = lambda oo, dd: wk.trace_closest_wide(wscene, oo, dd)
+        shadow = lambda oo, dd, act: wk.shadow_occlusion_wide(
+            wscene, oo, dd, 1e29, active=act)
     print(f"scene: {int(scene.tri_v0.shape[0])} tris, ready in "
           f"{time.time()-t0:.1f}s", flush=True)
 
     w, h = args.width, args.height
     n1 = w * h
-    cam = terrain_camera(w, h)
+    cam = cam_fn(w, h)
     u, v = rays_mod.pixel_centers(w, h)
     o, d = rays_mod.generate_rays(cam, u, v)
 
-    hit = sk.trace_closest_stream(sscene, o, d)
+    hit = trace_full(o, d)
     surf = traverse.shade_hits(scene, hit, o, d)
     bo_l, bd_l, act_l = [], [], []
     for s in range(args.spp):
@@ -157,7 +189,12 @@ def main():
         sun_direction(0.8, 0.45), (n, 3)
     )
 
-    roots, tbounds = cut_treelets(scene, args.treelets)
+    # production cut (world-space, all instances); the tool's own
+    # cut_treelets(single-instance) is kept above as the original
+    # experiment's record
+    from ilgpu_raytracing_tpu.models.bvh import cut_scene_treelets
+
+    tbounds = cut_scene_treelets(scene, args.treelets)
     T = tbounds.shape[0]
     print(f"N = {n} bounce lanes, {T} treelets, "
           f"backend={jax.default_backend()}", flush=True)
@@ -237,18 +274,11 @@ def main():
         sperm, _sp = jax.jit(skeyfn)()
         so_s = jax.device_put(jnp.take(bo, sperm, axis=0))
         sd_s = jax.device_put(jnp.take(sun, sperm, axis=0))
-        dt_c = timed(
-            lambda: sk.trace_closest_stream_packed(
-                sscene, bo_s, bd_s, active=act_s),
-            args.reps)
-        dt_s = timed(
-            lambda: sk.shadow_occlusion_stream(
-                sscene, so_s, sd_s, 1e29, active=act_s),
-            args.reps)
+        dt_c = timed(lambda: trace_packed(bo_s, bd_s, act_s), args.reps)
+        dt_s = timed(lambda: shadow(so_s, sd_s, act_s), args.reps)
         dt_p = timed(keyfn, args.reps)
         # exactness: unsorted t must match the first variant's bit-for-bit
-        t_s, _pp = jax.jit(lambda: sk.trace_closest_stream_packed(
-            sscene, bo_s, bd_s, active=act_s))()
+        t_s, _pp = jax.jit(lambda: trace_packed(bo_s, bd_s, act_s))()
         t_u = np.asarray(jnp.take(t_s, pos, axis=0))
         if t_ref is None:
             t_ref = t_u

@@ -89,6 +89,26 @@ class RenderConfig:
     # Trace bounce-0 sun occlusion once per frame (coherent, sample-
     # invariant) instead of inside every sample's shadow batch.
     dedup_sun_shadow: bool = True
+    # Defer every bounce's ReSTIR visibility rays (plus the final bounce's
+    # sky-visibility any-hit) into ONE frame-wide shadow dispatch traced
+    # after the bounce loop. Sound because shadow results only scale the
+    # radiance contribution, never path continuation or reservoir writes
+    # (RTRay.cs:518-539: visibility multiplies the contribution after
+    # selection). Collapses max_depth+1 sorted shadow round-trips into one
+    # at (max_depth+1)x the lane count; radiance is equal up to fp
+    # summation order. Applies on the pure Pallas path only (the XLA /
+    # alpha-peel tracers wrap while_loops whose lane count must stay
+    # bounded; see integrator._path_trace_block).
+    deferred_shadows: bool = False
+    # Lane layout of the spp-vectorized trace batch: False = sample-major
+    # ([sample0 pixels; sample1 pixels]), True = pixel-major (a pixel's spp
+    # lanes adjacent). Pixel-major keeps a pixel's samples adjacent through
+    # the stable (alive, octant, morton) sort whenever they share a key
+    # bin, so their overlapping leaf wants land in the same subtile (the
+    # round-4 memo's "spp amortization" route). Pure lane permutation:
+    # per-(pixel, sample) RNG streams, trace results, and fold order are
+    # unchanged -- images are bit-identical under either layout.
+    spp_pixel_major: bool = False
 
     # --- RNG ---
     # 0 => locked (frame-invariant noise); nonzero => distinct stream selector /

@@ -52,13 +52,16 @@ def _advance(t_hit):
 
 
 def trace_closest_peel(trace_fn, scene: SceneData, o, d, active=None,
-                       with_exhausted: bool = False):
+                       with_exhausted: bool = False,
+                       with_iters: bool = False):
     """Closest hit honoring alpha cutouts.
 
     trace_fn(o, d, active) -> HitRecord from the opaque-only tracer (t is
     world-parametric relative to the passed origin, T_INF on miss).
     with_exhausted=True returns (HitRecord, exhausted (N,) bool); exhausted
     lanes crossed >MAX_PEELS rejected surfaces and report a miss.
+    with_iters=True appends the executed peel-iteration count (scalar i32,
+    >= 1 when any lane was active) for perf accounting (tools/alphabench).
     """
     n = o.shape[0]
     if active is None:
@@ -101,21 +104,25 @@ def trace_closest_peel(trace_fn, scene: SceneData, o, d, active=None,
         t_base = jnp.where(reject, t_base + adv, t_base)
         return i + 1, reject, o_cur, t_base, out
 
-    _, pending, _, _, out = lax.while_loop(
+    i, pending, _, _, out = lax.while_loop(
         cond, body, (jnp.int32(0), active, o, zero, out0)
     )
+    ret = (out,)
     if with_exhausted:
-        return out, pending
-    return out
+        ret = ret + (pending,)
+    if with_iters:
+        ret = ret + (i,)
+    return ret if len(ret) > 1 else out
 
 
 def shadow_occlusion_peel(trace_fn, scene: SceneData, o, d, t_max, active=None,
-                          with_exhausted: bool = False):
+                          with_exhausted: bool = False,
+                          with_iters: bool = False):
     """Any-hit occlusion honoring the +-0.10 alpha band (returns bool (N,)).
 
     trace_fn as in trace_closest_peel. `t_max` is the world-space occlusion
     range (scalar or (N,)). with_exhausted=True returns (occ, exhausted);
-    exhausted lanes report unoccluded.
+    exhausted lanes report unoccluded. with_iters as in trace_closest_peel.
     """
     n = o.shape[0]
     if active is None:
@@ -140,10 +147,13 @@ def shadow_occlusion_peel(trace_fn, scene: SceneData, o, d, t_max, active=None,
         t_rem = jnp.where(reject, t_rem - adv, t_rem)
         return i + 1, reject, o_cur, t_rem, occ
 
-    _, pending, _, _, occ = lax.while_loop(
+    i, pending, _, _, occ = lax.while_loop(
         cond, body,
         (jnp.int32(0), active, o, t_rem, jnp.zeros((n,), bool)),
     )
+    ret = (occ,)
     if with_exhausted:
-        return occ, pending
-    return occ
+        ret = ret + (pending,)
+    if with_iters:
+        ret = ret + (i,)
+    return ret if len(ret) > 1 else occ

@@ -289,7 +289,15 @@ def _path_trace_block(
     ):
         treelet_bounds = pscene.sortkey_bounds
 
+    # lane layout (config.spp_pixel_major): sample-major stacks whole
+    # sample tiles ([all pixels sample 0; all pixels sample 1]);
+    # pixel-major interleaves so a pixel's spp lanes are adjacent and stay
+    # adjacent through the stable sort when they share a key bin
+    pixel_major = cfg.spp_pixel_major and spp > 1
+
     def tile(x):
+        if pixel_major:
+            return jnp.repeat(x, spp, axis=0)
         return jnp.tile(x, (spp,) + (1,) * (x.ndim - 1))
 
     px, py = layout.xy_from_position(pixel_idx, width, height)
@@ -307,6 +315,20 @@ def _path_trace_block(
     def _glass_ior(ior):
         # ior <= 0 falls back to 1.5 (RTRay.cs:251-252)
         return jnp.where(ior > 0.0, ior, 1.5)
+
+    # deferred shadow queue (config.deferred_shadows): visibility rays
+    # never drive path continuation or reservoir writes, so every bounce's
+    # ReSTIR shadow batch (and the final bounce's sky-visibility any-hit)
+    # can be accumulated and traced as ONE frame-wide sorted dispatch after
+    # the bounce loop -- one sort/unsort round-trip instead of
+    # max_depth+1. Pure-Pallas scenes only: the XLA-tracer and alpha-peel
+    # paths wrap lax.while_loop whose lane count is chunk-bounded, and a
+    # (max_depth+1)x batch would blow that bound (TPU fusion-pass crash,
+    # ARCHITECTURE.md finding 6).
+    defer_shadows = (
+        cfg.deferred_shadows and pscene is not None and not scene.has_alpha
+    )
+    shadow_queue: list[dict] | None = [] if defer_shadows else None
 
     def bounce_step(carry, depth, allow_reuse: bool, sun_occ0=None,
                     sun_dir_n=None, final: bool = False):
@@ -368,10 +390,32 @@ def _path_trace_block(
             cfg.local_candidates, cfg.delta_candidates,
             static_reuse=static_reuse,
             reference_weighting=cfg.restir_reference_weighting,
-            reps=spp,
+            reps=spp, reps_pixel_major=pixel_major,
         )
         shadow_o = _offset_origin(pos, nrm, sel["wi"], cfg.eps_n)
-        if sun_occ0 is not None:
+        if shadow_queue is not None:
+            # queue the visibility ray; contribution is pre-masked and
+            # pre-scaled by throughput so the post-loop resolve is a pure
+            # where-add (identical value, fp summation order differs)
+            contrib_w = jnp.where(
+                (is_lambert & sel["ok"])[..., None], thr * sel["contrib"],
+                0.0,
+            )
+            if sun_occ0 is not None:
+                exact = jnp.all(sel["wi"] == sun_dir_n[None, :], axis=-1)
+                sun_sel = sel["is_sun"] & sel["ok"] & exact
+                # sun winners resolve against the shared coherent trace now
+                li = li + jnp.where(
+                    (sun_sel & (~sun_occ0))[..., None], contrib_w, 0.0
+                )
+                q_act = sel["ok"] & (~sun_sel)
+            else:
+                q_act = sel["ok"]
+            shadow_queue.append(
+                dict(o=shadow_o, d=sel["wi"], contrib=contrib_w, act=q_act)
+            )
+            eff = eff + jnp.sum(q_act.astype(jnp.float32))
+        elif sun_occ0 is not None:
             # bounce 0 only: the sun's occlusion from the G-buffer point is
             # sample-invariant (same origin, same direction), so it was
             # traced ONCE per frame as a coherent batch; only non-sun
@@ -399,10 +443,11 @@ def _path_trace_block(
                 treelet_bounds=treelet_bounds,
             )
             eff = eff + jnp.sum(sel["ok"].astype(jnp.float32))
-        direct = jnp.where(
-            (sel["ok"] & (~occluded))[..., None], sel["contrib"], 0.0
-        )
-        li = li + jnp.where(is_lambert[..., None], thr * direct, 0.0)
+        if shadow_queue is None:
+            direct = jnp.where(
+                (sel["ok"] & (~occluded))[..., None], sel["contrib"], 0.0
+            )
+            li = li + jnp.where(is_lambert[..., None], thr * direct, 0.0)
         write_mask = is_lambert & (~wrote)
         res_cur = _merge_reservoirs(res_cur, res_out, write_mask)
         wrote = wrote | is_lambert
@@ -453,18 +498,34 @@ def _path_trace_block(
             # inf). Alpha scenes keep the closest path: their shadow peel
             # applies the +-0.10 any-hit band (SceneDeviceViews.cs:297-315),
             # which is deliberately NOT the closest-hit cutout predicate.
-            occluded = _shadow(
-                scene, pscene, ray_o, new_dir, 1e29, active=trace_active,
-                sort=cfg.sort_bounce_rays, morton_bounds=morton_bounds,
-                treelet_bounds=treelet_bounds,
-            )
-            missed = trace_active & (~occluded)
-            li = li + jnp.where(
-                missed[..., None],
-                thr * sky_ops.sky_radiance(new_dir, sky_top, sky_bottom),
-                0.0,
-            )
-            alive = trace_active & occluded
+            if shadow_queue is not None:
+                # ride the deferred dispatch: sky radiance lands where the
+                # queue trace reports NOT occluded, i.e. exactly `missed`.
+                # eff for these lanes was counted above as trace_active.
+                sky_w = jnp.where(
+                    trace_active[..., None],
+                    thr * sky_ops.sky_radiance(new_dir, sky_top, sky_bottom),
+                    0.0,
+                )
+                shadow_queue.append(
+                    dict(o=ray_o, d=new_dir, contrib=sky_w,
+                         act=trace_active)
+                )
+                alive = jnp.zeros_like(trace_active)  # last bounce: unused
+            else:
+                occluded = _shadow(
+                    scene, pscene, ray_o, new_dir, 1e29,
+                    active=trace_active, sort=cfg.sort_bounce_rays,
+                    morton_bounds=morton_bounds,
+                    treelet_bounds=treelet_bounds,
+                )
+                missed = trace_active & (~occluded)
+                li = li + jnp.where(
+                    missed[..., None],
+                    thr * sky_ops.sky_radiance(new_dir, sky_top, sky_bottom),
+                    0.0,
+                )
+                alive = trace_active & occluded
         else:
             hit = _trace(
                 scene, pscene, ray_o, new_dir, active=trace_active,
@@ -516,8 +577,13 @@ def _path_trace_block(
         sun_occ0 = None
         eff0 = jnp.float32(0.0)
 
-    # per-lane RNG: lane s*m+i carries pixel i's sample-s stream
-    sample_ids = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), m)
+    # per-lane RNG: the lane carrying (pixel i, sample s) gets the same
+    # stream under either layout (sample-major lane s*m+i, pixel-major
+    # lane i*spp+s)
+    if pixel_major:
+        sample_ids = jnp.tile(jnp.arange(spp, dtype=jnp.uint32), m)
+    else:
+        sample_ids = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), m)
     state = rng_mod.seed_from_index(
         tile(canonical_idx), width, frame, sample_ids, cfg.rng_salt, noise_key
     )
@@ -551,21 +617,50 @@ def _path_trace_block(
     res_vec = carry[11]
     eff = carry[12]
 
-    # fold the (spp, m) lanes back per pixel in sample order: radiance sums
-    # with the per-sample scrub; reservoirs keep the LAST sample that wrote
-    # (identical to the old sequential ping-pong merge)
-    li_s = li.reshape(spp, m, 3)
+    if shadow_queue:
+        # ONE frame-wide sorted shadow dispatch over every queued segment
+        # (max_depth ReSTIR batches + the final sky-visibility batch); the
+        # sort key interleaves segments by (alive, octant, morton/treelet)
+        # so sun-directed rays from every bounce pack together.
+        n_seg = len(shadow_queue)
+        with jax.named_scope("glue_shadowqueue"):
+            q_o = jnp.concatenate([q["o"] for q in shadow_queue], axis=0)
+            q_d = jnp.concatenate([q["d"] for q in shadow_queue], axis=0)
+            q_act = jnp.concatenate([q["act"] for q in shadow_queue], axis=0)
+        occ = _shadow(
+            scene, pscene, q_o, q_d, 1e29, active=q_act,
+            sort=cfg.sort_bounce_rays, morton_bounds=morton_bounds,
+            treelet_bounds=treelet_bounds,
+        )
+        with jax.named_scope("glue_shadowqueue"):
+            occ_s = occ.reshape(n_seg, n)
+            act_s = q_act.reshape(n_seg, n)
+            for b, q in enumerate(shadow_queue):
+                li = li + jnp.where(
+                    (act_s[b] & (~occ_s[b]))[..., None], q["contrib"], 0.0
+                )
+
+    # fold the lanes back per pixel in sample order: radiance sums with the
+    # per-sample scrub; reservoirs keep the LAST sample that wrote
+    # (identical to the old sequential ping-pong merge). Per-(pixel,
+    # sample) values are layout-invariant, so both branches fold the same
+    # numbers in the same order.
+    def sample_slice(x, s):
+        if pixel_major:
+            return x.reshape(m, spp, *x.shape[1:])[:, s]
+        return x.reshape(spp, m, *x.shape[1:])[s]
+
     l_sum = jnp.zeros((m, 3), jnp.float32)
     for s in range(spp):
-        l_sum = l_sum + vec.safe_color(li_s[s], cfg.safe_color_max)
+        l_sum = l_sum + vec.safe_color(sample_slice(li, s),
+                                       cfg.safe_color_max)
     color = l_sum * (1.0 / float(spp))
-    wrote_s = wrote.reshape(spp, m)
     res_cur = res_cur_init
     for s in range(spp):
         res_s = jax.tree_util.tree_map(
-            lambda x: x.reshape(spp, m, *x.shape[1:])[s], res_vec
+            lambda x: sample_slice(x, s), res_vec
         )
-        res_cur = _merge_reservoirs(res_cur, res_s, wrote_s[s])
+        res_cur = _merge_reservoirs(res_cur, res_s, sample_slice(wrote, s))
     depth = vec.length(gb_px.pos - cam_origin)
     return color, depth, gb_px.obj_id, res_cur, eff
 

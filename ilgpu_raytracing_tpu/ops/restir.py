@@ -364,6 +364,7 @@ def restir_direct(
     static_reuse: bool = True,
     reference_weighting: bool = False,
     reps: int = 1,
+    reps_pixel_major: bool = False,
 ):
     """Candidate generation + reuse + selection (RTRay.cs:437-516).
 
@@ -377,12 +378,15 @@ def restir_direct(
     XLA op in the frame (~60% of frame time at 1080p measured on v5e), and
     deeper vertices never reuse anyway (RTRay.cs:282-287).
 
-    reps>1 declares that the batch is `reps` spp-sample tiles of the SAME
-    pixel range stacked ([tile0; tile1; ...], pixel_idx tiled to match):
-    the spatial neighbor rows -- which depend only on the pixel, not the
-    sample -- are then fetched once per pixel and tiled, instead of
-    re-selected per sample (the per-sample RNG still drives independent
-    streaming updates per lane).
+    reps>1 declares that the batch is `reps` spp-sample views of the SAME
+    pixel range (pixel_idx expanded to match): the spatial neighbor rows
+    -- which depend only on the pixel, not the sample -- are then fetched
+    once per pixel and expanded, instead of re-selected per sample (the
+    per-sample RNG still drives independent streaming updates per lane).
+    reps_pixel_major selects the expansion: False = stacked sample tiles
+    ([tile0; tile1; ...], jnp.tile), True = a pixel's samples adjacent
+    (jnp.repeat) -- must match the integrator's lane layout
+    (config.spp_pixel_major).
     """
     total = local_candidates + delta_candidates
     mix_local = float(local_candidates) / float(total)
@@ -435,7 +439,8 @@ def restir_direct(
             (start, jnp.int32(0)), (m_px, 4),
         )
         if reps > 1:
-            own_sl = jnp.tile(own_sl, (reps, 1))
+            own_sl = (jnp.repeat(own_sl, reps, axis=0)
+                      if reps_pixel_major else jnp.tile(own_sl, (reps, 1)))
         own_obj = own_sl[:, 3].astype(jnp.int32)
         own_z = vec.length(own_sl[:, 0:3] - cam_origin)
 
@@ -460,8 +465,12 @@ def restir_direct(
         for slot in range(len(_NEIGHBOR_BASE)):
             row12, gbr7 = fetch(slot, start, m_px)
             if reps > 1:
-                row12 = jnp.tile(row12, (reps, 1))
-                gbr7 = jnp.tile(gbr7, (reps, 1))
+                if reps_pixel_major:
+                    row12 = jnp.repeat(row12, reps, axis=0)
+                    gbr7 = jnp.repeat(gbr7, reps, axis=0)
+                else:
+                    row12 = jnp.tile(row12, (reps, 1))
+                    gbr7 = jnp.tile(gbr7, (reps, 1))
             state, res, n_b, vld = _import_rows(
                 res, state, row12, gbr7, active & enable_spatial, own_obj,
                 own_z, cam_origin, n, albedo, mix_local, mix_delta,

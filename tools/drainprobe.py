@@ -82,8 +82,13 @@ def main():
         tess=24, sphere_tess=(48, 72), blas_leaf_size=8, bvh_method="sah"
     )
     w = 1280
-    h = max(64, (-(-args.rays // w) // 64) * 64)
+    # round the row count UP to a 64 multiple so --rays is a floor, not a
+    # silent truncation (ADVICE round 4: 1_000_000 used to yield 983_040)
+    h = max(64, ((-(-args.rays // w) + 63) // 64) * 64)
     n = w * h
+    if n != args.rays:
+        print(f"[setup] effective rays: {n} (requested {args.rays})",
+              flush=True)
     cam = cornell_camera(w, h)
     u, v = rays_mod.pixel_centers(w, h)
     o, d = rays_mod.generate_rays(cam, u, v)
@@ -111,9 +116,11 @@ def main():
     active = np.asarray(hit.hit)
 
     # production sort order, computed host-side so timing is kernel-only:
-    # (alive, direction octant, 4-bit origin morton), stable
-    bmin = bo[active].min(axis=0)
-    bmax = bo[active].max(axis=0)
+    # (alive, direction octant, 4-bit origin morton), stable. Morton
+    # quantization bounds match production exactly (ops/integrator.py:
+    # scene INSTANCE bounds, not the active hit-point AABB -- ADVICE r4)
+    bmin = np.min(np.asarray(scene.inst_bmin), axis=0)
+    bmax = np.max(np.asarray(scene.inst_bmax), axis=0)
     inv_ext = 1.0 / np.maximum(bmax - bmin, 1e-6)
     octant = ((bd[:, 0] > 0).astype(np.int64) << 2) | (
         (bd[:, 1] > 0).astype(np.int64) << 1) | (bd[:, 2] > 0).astype(
@@ -231,16 +238,20 @@ def main():
         return wk.trace_closest_wide(wscene, so, sd, active=sact)
 
     results = {}
-    for name, fn in [("prod", orig), ("base", base), ("nomath", nomath),
-                     ("noext", noext), ("empty", empty)]:
-        print(f"[variant {name}] compiling...", flush=True)
-        wk._leaf_tri_test_pp = fn
+    try:
+        for name, fn in [("prod", orig), ("base", base), ("nomath", nomath),
+                         ("noext", noext), ("empty", empty)]:
+            print(f"[variant {name}] compiling...", flush=True)
+            wk._leaf_tri_test_pp = fn
+            wk._run_trace.clear_cache()
+            dt = timed(run, args.reps)
+            results[name] = dt * 1e3
+            print(f"  {name:8s} {dt*1e3:8.2f} ms   {n/dt/1e6:7.2f} Mrays/s")
+    finally:
+        # restore even on a mid-variant failure (compile error on TPU would
+        # otherwise leave the module patched with a never-accept leaf test)
+        wk._leaf_tri_test_pp = orig
         wk._run_trace.clear_cache()
-        dt = timed(run, args.reps)
-        results[name] = dt * 1e3
-        print(f"  {name:8s} {dt*1e3:8.2f} ms   {n/dt/1e6:7.2f} Mrays/s")
-    wk._leaf_tri_test_pp = orig
-    wk._run_trace.clear_cache()
 
     b, nm, ne, em = (results[k] for k in ("base", "nomath", "noext",
                                           "empty"))

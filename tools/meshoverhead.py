@@ -1,0 +1,166 @@
+"""Measured multi-chip scaling overhead on the 8-device CPU mesh.
+
+Round-4 verdict weak #5: the "8 chips ~= 60 fps class" claim was
+arithmetic. This tool puts numbers on the sharded frame's overhead, the
+only way available without multi-chip hardware:
+
+1. WEAK SCALING: time the sharded frame over n devices vs the unsharded
+   frame at the SAME per-device pixel count (host CPU mesh; absolute times
+   are CPU-speed, the RATIO bounds the collective+partition overhead).
+2. COLLECTIVE INVENTORY: count the collective ops GSPMD inserted into the
+   sharded HLO (all-gather / all-reduce / collective-permute /
+   all-to-all / reduce-scatter) and their operand bytes -- the ReSTIR
+   prev-frame neighbor gathers and TAAU taps that cross shard boundaries.
+
+Usage (CPU mesh): JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    python tools/meshoverhead.py [--devices 8] [--ppd 10240]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+_COLLECTIVES = (
+    "all-gather", "all-reduce", "collective-permute", "all-to-all",
+    "reduce-scatter",
+)
+
+_SHAPE_RE = re.compile(r"^\s*%?[\w.-]+ = ((?:\([^)]*\)|\S+)) (\S+)\(")
+_DTYPE_BYTES = {
+    "f32": 4, "f16": 2, "bf16": 2, "f64": 8, "s32": 4, "u32": 4,
+    "s8": 1, "u8": 1, "pred": 1, "s64": 8, "u64": 8, "s16": 2, "u16": 2,
+}
+
+
+def _shape_bytes(shape_str: str) -> int:
+    """Total bytes of an HLO result shape string (handles tuples)."""
+    total = 0
+    for m in re.finditer(r"(\w+)\[([\d,]*)\]", shape_str):
+        dt, dims = m.group(1), m.group(2)
+        n = 1
+        for p in dims.split(","):
+            if p:
+                n *= int(p)
+        total += n * _DTYPE_BYTES.get(dt, 4)
+    return total
+
+
+def collective_inventory(hlo_text: str) -> dict[str, tuple[int, int]]:
+    """{kind: (count, result_bytes)} over the optimized HLO."""
+    inv: dict[str, tuple[int, int]] = {}
+    for line in hlo_text.splitlines():
+        stripped = line.strip()
+        m = _SHAPE_RE.match(stripped)
+        if not m:
+            continue
+        op = m.group(2).rstrip("(").lstrip("%")
+        for kind in _COLLECTIVES:
+            if op == kind or op.startswith(kind + "-start") or (
+                op.startswith(kind) and op[len(kind):].lstrip(".0123456789") == ""
+            ):
+                c, b = inv.get(kind, (0, 0))
+                inv[kind] = (c + 1, b + _shape_bytes(m.group(1)))
+                break
+    return inv
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--ppd", type=int, default=10240,
+                    help="pixels per device (weak scaling unit)")
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+
+    if jax.config.jax_platforms != "cpu":
+        print("re-run under JAX_PLATFORMS=cpu with "
+              "--xla_force_host_platform_device_count (see module doc)")
+        sys.exit(2)
+
+    import __graft_entry__ as entry_mod
+
+    entry_mod._enable_compile_cache()
+
+    from ilgpu_raytracing_tpu.parallel import sharding as shrd
+
+    n_dev = args.devices
+    width = 320
+    rows_per_dev = max(1, args.ppd // width)
+    h_sharded = rows_per_dev * n_dev
+    h_single = rows_per_dev
+    print(f"[setup] weak scaling: {width}x{h_sharded} over {n_dev} devices "
+          f"vs {width}x{h_single} on 1 device "
+          f"({width * rows_per_dev} px/device)", flush=True)
+
+    runs = {}
+    hlos = {}
+    for name, (w, h, use_mesh) in {
+        "sharded ": (width, h_sharded, True),
+        "1-device": (width, h_single, False),
+    }.items():
+        step, (scene, cam, prev, state, frame, key, sun, reset), cfg = (
+            entry_mod._flagship(w, h, dryrun=True)
+        )
+        if use_mesh:
+            mesh = shrd.make_mesh(n_dev)
+            shrd.check_divisible(w * h, mesh)
+            scene = shrd.replicate(mesh, scene)
+            state = shrd.shard_state(mesh, state)
+            cam = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, shrd.replicated(mesh)), cam
+            )
+            prev = cam
+        print(f"[compile] {name} ...", flush=True)
+        t0 = time.time()
+        packed, new_state, aux = step(
+            scene, cam, prev, state, frame, key, sun, reset
+        )
+        np.asarray(packed)
+        print(f"[compile] {name} ready in {time.time()-t0:.1f}s", flush=True)
+
+        from ilgpu_raytracing_tpu.runtime.renderer import render_frame
+
+        lowered = render_frame.lower(
+            scene, cam, prev, state, frame, key, sun, reset,
+            cfg, w, h, w, h, "clamp", None,
+        )
+        hlos[name] = lowered.compile().as_text()
+
+        ts = []
+        for _ in range(args.reps):
+            t0 = time.time()
+            packed, _, _ = step(scene, cam, prev, state, frame, key, sun,
+                                reset)
+            np.asarray(packed)
+            ts.append(time.time() - t0)
+        runs[name] = min(ts)
+        print(f"[run] {name} min {min(ts)*1e3:.1f} ms over {args.reps}",
+              flush=True)
+
+    sh, un = runs["sharded "], runs["1-device"]
+    print(f"\nweak-scaling overhead (CPU mesh, {width*rows_per_dev} "
+          f"px/device): sharded {sh*1e3:.1f} ms vs 1-device {un*1e3:.1f} ms "
+          f"-> overhead {max(0.0, sh/un - 1.0)*100:.1f}%")
+
+    print("\ncollective inventory (optimized sharded HLO):")
+    inv = collective_inventory(hlos["sharded "])
+    if not inv:
+        print("  (none found)")
+    for kind, (c, b) in sorted(inv.items()):
+        print(f"  {kind:20s} x{c:3d}  {b/1024:10.1f} KiB results")
+    inv1 = collective_inventory(hlos["1-device"])
+    print(f"(1-device HLO collectives: {sum(c for c, _ in inv1.values())})")
+
+
+if __name__ == "__main__":
+    main()

@@ -125,7 +125,14 @@ def run_variance():
         print(line, flush=True)
 
 
-def run_frametime():
+def run_frametime(pairs: int = 8):
+    """Drift-immune protocol (round-4 verdict weak #4): every arm's
+    renderer is compiled and warmed up front, then the arms are timed in
+    strictly INTERLEAVED rotation (8,4,2,8,4,2,...) so process-cumulative
+    host drift hits every arm equally; the per-arm statistic is the
+    MINIMUM (drift is additive noise -- the min tracks the clean frame).
+    Run order of the rotation cannot change the per-arm minima ranking;
+    pass --counts reversed to verify."""
     from ilgpu_raytracing_tpu.config import RenderConfig
     from ilgpu_raytracing_tpu.models.cornell import (
         build_cornell_scene,
@@ -136,20 +143,28 @@ def run_frametime():
     _, scene = build_cornell_scene(
         tess=24, sphere_tess=(48, 72), blas_leaf_size=8, bvh_method="sah"
     )
-    print("bench frame (cornell 1080p presented, spp=2 depth=3):")
+    rends = {}
     for c in _COUNTS:
         cfg = RenderConfig(spp=2, max_depth=3, local_candidates=c)
         r = Renderer(out_w=1920, out_h=1080, cfg=cfg, scene=scene,
                      camera=cornell_camera(1920, 1080))
         r.sun_azimuth, r.sun_elevation = 0.3, 0.6
+        print(f"[warm] c={c} compiling...", flush=True)
         np.asarray(r.render())
-        best = 1e30
-        for _w in range(2):
+        np.asarray(r.render())
+        rends[c] = r
+    times: dict[int, list[float]] = {c: [] for c in _COUNTS}
+    for _ in range(pairs):
+        for c, r in rends.items():
             t0 = time.time()
-            for _ in range(6):
-                np.asarray(r.render())
-            best = min(best, (time.time() - t0) / 6)
-        print(f"  c={c}: {best*1e3:7.1f} ms/frame", flush=True)
+            np.asarray(r.render())
+            times[c].append(time.time() - t0)
+    print(f"bench frame (cornell 1080p presented, spp=2 depth=3), "
+          f"{pairs} interleaved rounds, rotation order {_COUNTS}:")
+    for c, ts in times.items():
+        mn, md = min(ts), sorted(ts)[len(ts) // 2]
+        print(f"  c={c}: min {mn*1e3:7.1f} ms  median {md*1e3:7.1f} ms  "
+              f"per-round {['%.0f' % (t*1e3) for t in ts]}", flush=True)
 
 
 _COUNTS = (8, 4, 2)

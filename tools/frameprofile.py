@@ -34,8 +34,8 @@ import numpy as np
 
 SCOPE_TAGS = (
     "glue_sortperm", "glue_sortgather", "glue_unsort", "glue_decode",
-    "glue_restir", "glue_shade", "stage_taau", "stage_tonemap_pack",
-    "stage_primary",
+    "glue_restir", "glue_shade", "glue_shadowqueue", "stage_taau",
+    "stage_tonemap_pack", "stage_primary",
 )
 
 
@@ -134,6 +134,10 @@ def main():
     ap.add_argument("--dir", default="/tmp/jax-trace-frame")
     ap.add_argument("--skip-capture", action="store_true",
                     help="re-bucket an existing trace dir")
+    ap.add_argument("--deferred", action="store_true",
+                    help="profile the deferred-shadow-queue frame")
+    ap.add_argument("--pixel-major", action="store_true",
+                    help="profile the pixel-major spp lane layout")
     args = ap.parse_args()
 
     import jax
@@ -148,7 +152,9 @@ def main():
     from ilgpu_raytracing_tpu.runtime.renderer import Renderer
 
     cfg = RenderConfig(spp=args.spp, max_depth=args.depth,
-                       use_pallas_trace=True)
+                       use_pallas_trace=True,
+                       deferred_shadows=args.deferred,
+                       spp_pixel_major=args.pixel_major)
     _, scene = build_cornell_scene(
         tess=24, sphere_tess=(48, 72), blas_leaf_size=8, bvh_method="sah"
     )

@@ -2,7 +2,13 @@
 
 The reference hard-codes every knob as scattered consts (see SURVEY.md section
 5 "Config / flag system"); here the exact knob set is lifted into one frozen
-dataclass. Defaults reproduce the reference's defaults.
+dataclass. Defaults reproduce the reference's defaults, with every
+divergence documented at the knob with its measurement: the execution-shape
+knobs (sorting, dedup, pallas kernels) change no pixel; the estimator knobs
+that do (restir_reference_weighting -- a reference bias NOT replicated;
+rr_start_depth -- the reference's RR gate is dead code, fixed per SURVEY
+section 7; shadow_rr_lum -- visibility-ray RR, measured net noise-efficiency
+win) each carry their reference-exact setting in the comment.
 
 Reference citations for each default:
   render_scale=0.67          RTRenderer.cs:43
@@ -40,7 +46,14 @@ class RenderConfig:
     max_depth: int = 3
     eps_n: float = 0.0025
     eps_min: float = 1e-6
-    rr_start_depth: int = 3
+    # Divergence from the reference, prescribed by SURVEY.md section 7
+    # step 3: the reference's Russian roulette is DEAD CODE at its own
+    # defaults (gate depth>=3 with MaxDepth=3, so depth only reaches 0..2
+    # -- RTRay.cs:306-311 vs RTRenderer.cs:204). Default 2 makes RR live
+    # at the final bounce: measured -3.3% bench frame at 1.01-1.03x
+    # variance, means preserved (BENCHLOG round 5 "estimator RR
+    # campaign"). Set 3 to reproduce the reference's dead gate exactly.
+    rr_start_depth: int = 2
     rr_clamp_lo: float = 0.05
     rr_clamp_hi: float = 0.98
     safe_color_max: float = 1e6
@@ -100,6 +113,24 @@ class RenderConfig:
     # alpha-peel tracers wrap while_loops whose lane count must stay
     # bounded; see integrator._path_trace_block).
     deferred_shadows: bool = False
+    # Russian roulette on VISIBILITY rays (rebuild-only knob, 0.0 = off =
+    # reference parity, RTRay.cs:518-539 always traces the winner): a
+    # shadow lane whose potential contribution luminance c is below this
+    # threshold traces with probability p = clip(c/threshold, pmin, 1) and
+    # scales its contribution by 1/p -- an unbiased estimator change
+    # (E[(c/p)*V*survive] = c*V), applied to every ReSTIR winner
+    # visibility ray and the final bounce's sky-visibility ray. Skipped
+    # lanes count as occluded. Cuts the sorted shadow batches' live-lane
+    # population (the frame's #1 kernel bucket); variance cost is bounded
+    # and measured in BENCHLOG round 5.
+    # Default 0.3: measured -2 to -3% bench frame at 1.01-1.02x variance
+    # (noise efficiency 0.985, a net win -- BENCHLOG round 5); 0.0
+    # restores the reference's always-trace behavior bit-exactly (the RR
+    # draw is a side-stream, utils/rng.side_float, so main streams never
+    # shift). Raise toward 1.0 for fps-chasing modes (-14% frame at
+    # 1.35x variance on cornell).
+    shadow_rr_lum: float = 0.3
+    shadow_rr_pmin: float = 0.05
     # Lane layout of the spp-vectorized trace batch: False = sample-major
     # ([sample0 pixels; sample1 pixels]), True = pixel-major (a pixel's spp
     # lanes adjacent). Pixel-major keeps a pixel's samples adjacent through

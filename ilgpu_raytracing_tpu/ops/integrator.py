@@ -330,6 +330,26 @@ def _path_trace_block(
     )
     shadow_queue: list[dict] | None = [] if defer_shadows else None
 
+    # visibility-ray Russian roulette (config.shadow_rr_lum; rebuild-only
+    # estimator knob, 0 = off = reference parity). The draw is a
+    # side-stream of the lane's CURRENT rng state (utils/rng.side_float),
+    # so turning the knob on never shifts the main per-lane streams:
+    # scatter directions, ReSTIR candidates, and path RR are identical,
+    # and an A/B differs only on RR-killed visibility lanes.
+    _lum_w = jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
+
+    def _vis_rr(state, contrib_rgb, act, salt):
+        """Returns (traced_mask, scale): survivors of `act` trace and
+        scale their contribution by 1/p; scale is None when off."""
+        if cfg.shadow_rr_lum <= 0.0:
+            return act, None
+        c = jnp.maximum(contrib_rgb @ _lum_w, 0.0)
+        p = jnp.clip(
+            c * (1.0 / cfg.shadow_rr_lum), cfg.shadow_rr_pmin, 1.0
+        )
+        u = rng_mod.side_float(state, salt)
+        return act & (u < p), jnp.where(u < p, 1.0 / p, 0.0)
+
     def bounce_step(carry, depth, allow_reuse: bool, sun_occ0=None,
                     sun_dir_n=None, final: bool = False):
         (pos, nrm, alb, shade, ior, thr, li, alive, view, state, wrote,
@@ -393,29 +413,13 @@ def _path_trace_block(
             reps=spp, reps_pixel_major=pixel_major,
         )
         shadow_o = _offset_origin(pos, nrm, sel["wi"], cfg.eps_n)
-        if shadow_queue is not None:
-            # queue the visibility ray; contribution is pre-masked and
-            # pre-scaled by throughput so the post-loop resolve is a pure
-            # where-add (identical value, fp summation order differs)
-            contrib_w = jnp.where(
-                (is_lambert & sel["ok"])[..., None], thr * sel["contrib"],
-                0.0,
-            )
-            if sun_occ0 is not None:
-                exact = jnp.all(sel["wi"] == sun_dir_n[None, :], axis=-1)
-                sun_sel = sel["is_sun"] & sel["ok"] & exact
-                # sun winners resolve against the shared coherent trace now
-                li = li + jnp.where(
-                    (sun_sel & (~sun_occ0))[..., None], contrib_w, 0.0
-                )
-                q_act = sel["ok"] & (~sun_sel)
-            else:
-                q_act = sel["ok"]
-            shadow_queue.append(
-                dict(o=shadow_o, d=sel["wi"], contrib=contrib_w, act=q_act)
-            )
-            eff = eff + jnp.sum(q_act.astype(jnp.float32))
-        elif sun_occ0 is not None:
+        # pre-masked, throughput-scaled potential contribution: what lands
+        # in li if the visibility ray reports unoccluded (also the RR
+        # importance for _vis_rr)
+        contrib_w = jnp.where(
+            (is_lambert & sel["ok"])[..., None], thr * sel["contrib"], 0.0
+        )
+        if sun_occ0 is not None:
             # bounce 0 only: the sun's occlusion from the G-buffer point is
             # sample-invariant (same origin, same direction), so it was
             # traced ONCE per frame as a coherent batch; only non-sun
@@ -425,29 +429,34 @@ def _path_trace_block(
             # exactly this frame's sun
             exact = jnp.all(sel["wi"] == sun_dir_n[None, :], axis=-1)
             sun_sel = sel["is_sun"] & sel["ok"] & exact
-            traced = _shadow(
-                scene, pscene, shadow_o, sel["wi"], 1e29,
-                active=sel["ok"] & (~sun_sel), sort=cfg.sort_bounce_rays,
-                morton_bounds=morton_bounds,
-                treelet_bounds=treelet_bounds,
+            # sun winners resolve against the shared coherent trace (never
+            # RR'd -- their trace is already paid)
+            li = li + jnp.where(
+                (sun_sel & (~sun_occ0))[..., None], contrib_w, 0.0
             )
-            occluded = jnp.where(sun_sel, sun_occ0, traced)
-            # dedup honesty: sun-substituted lanes were NOT traced in this
-            # dispatch (the coherent per-frame trace is counted once at
-            # scan init), so only non-sun shadow lanes count as effective
-            eff = eff + jnp.sum((sel["ok"] & (~sun_sel)).astype(jnp.float32))
+            q_act = sel["ok"] & (~sun_sel)
+        else:
+            q_act = sel["ok"]
+        q_act, q_scale = _vis_rr(state, contrib_w, q_act, 0x53484457)
+        if q_scale is not None:
+            contrib_w = contrib_w * q_scale[..., None]
+        if shadow_queue is not None:
+            shadow_queue.append(
+                dict(o=shadow_o, d=sel["wi"], contrib=contrib_w, act=q_act)
+            )
         else:
             occluded = _shadow(
-                scene, pscene, shadow_o, sel["wi"], 1e29, active=sel["ok"],
+                scene, pscene, shadow_o, sel["wi"], 1e29, active=q_act,
                 sort=cfg.sort_bounce_rays, morton_bounds=morton_bounds,
                 treelet_bounds=treelet_bounds,
             )
-            eff = eff + jnp.sum(sel["ok"].astype(jnp.float32))
-        if shadow_queue is None:
-            direct = jnp.where(
-                (sel["ok"] & (~occluded))[..., None], sel["contrib"], 0.0
+            li = li + jnp.where(
+                (q_act & (~occluded))[..., None], contrib_w, 0.0
             )
-            li = li + jnp.where(is_lambert[..., None], thr * direct, 0.0)
+        # dedup/RR honesty: only lanes actually in the sorted dispatch
+        # count as effective (sun-substituted lanes' coherent trace is
+        # counted once at scan init; RR-killed lanes are never traced)
+        eff = eff + jnp.sum(q_act.astype(jnp.float32))
         write_mask = is_lambert & (~wrote)
         res_cur = _merge_reservoirs(res_cur, res_out, write_mask)
         wrote = wrote | is_lambert
@@ -498,34 +507,38 @@ def _path_trace_block(
             # inf). Alpha scenes keep the closest path: their shadow peel
             # applies the +-0.10 any-hit band (SceneDeviceViews.cs:297-315),
             # which is deliberately NOT the closest-hit cutout predicate.
+            # potential contribution if the sky ray escapes (also the RR
+            # importance); eff for these lanes was counted above as
+            # trace_active -- RR-killed lanes never dispatch, so deduct.
+            sky_w = jnp.where(
+                trace_active[..., None],
+                thr * sky_ops.sky_radiance(new_dir, sky_top, sky_bottom),
+                0.0,
+            )
+            sky_act, sky_scale = _vis_rr(state, sky_w, trace_active,
+                                         0x534B5952)
+            if sky_scale is not None:
+                sky_w = sky_w * sky_scale[..., None]
+                eff = eff - jnp.sum(
+                    (trace_active & (~sky_act)).astype(jnp.float32)
+                )
             if shadow_queue is not None:
                 # ride the deferred dispatch: sky radiance lands where the
                 # queue trace reports NOT occluded, i.e. exactly `missed`.
-                # eff for these lanes was counted above as trace_active.
-                sky_w = jnp.where(
-                    trace_active[..., None],
-                    thr * sky_ops.sky_radiance(new_dir, sky_top, sky_bottom),
-                    0.0,
-                )
                 shadow_queue.append(
-                    dict(o=ray_o, d=new_dir, contrib=sky_w,
-                         act=trace_active)
+                    dict(o=ray_o, d=new_dir, contrib=sky_w, act=sky_act)
                 )
                 alive = jnp.zeros_like(trace_active)  # last bounce: unused
             else:
                 occluded = _shadow(
                     scene, pscene, ray_o, new_dir, 1e29,
-                    active=trace_active, sort=cfg.sort_bounce_rays,
+                    active=sky_act, sort=cfg.sort_bounce_rays,
                     morton_bounds=morton_bounds,
                     treelet_bounds=treelet_bounds,
                 )
-                missed = trace_active & (~occluded)
-                li = li + jnp.where(
-                    missed[..., None],
-                    thr * sky_ops.sky_radiance(new_dir, sky_top, sky_bottom),
-                    0.0,
-                )
-                alive = trace_active & occluded
+                missed = sky_act & (~occluded)
+                li = li + jnp.where(missed[..., None], sky_w, 0.0)
+                alive = sky_act & occluded
         else:
             hit = _trace(
                 scene, pscene, ray_o, new_dir, active=trace_active,

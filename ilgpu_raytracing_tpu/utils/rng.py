@@ -132,6 +132,22 @@ def next_float(state: jnp.ndarray):
     )
 
 
+def side_float(state: jnp.ndarray, salt) -> jnp.ndarray:
+    """Uniform [0, 1) derived from the CURRENT state without advancing it.
+
+    A decorrelated side-stream: the hash32/pcg_permute chain is a
+    different trajectory from the xorshift32 steps that produce every
+    main-stream draw, so the value is independent of (never reused by)
+    the main sequence. Lets optional estimator knobs (e.g.
+    config.shadow_rr_lum) draw randomness without shifting the main
+    per-lane stream -- the default path stays bit-identical and an A/B
+    against the knob differs only where the knob actually acts."""
+    v = pcg_permute(hash32(state ^ u32(salt)))
+    return (v & _U(0x00FFFFFF)).astype(jnp.float32) * jnp.float32(
+        1.0 / 16777216.0
+    )
+
+
 def next_float2(state: jnp.ndarray):
     """Two uniforms; returns (new_state, u1, u2)."""
     state, u1 = next_float(state)

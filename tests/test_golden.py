@@ -24,7 +24,12 @@ _G = os.path.join(os.path.dirname(__file__), "goldens")
 
 
 def _render(scene, cam, w, h, frames=2):
-    cfg = RenderConfig(spp=2, max_depth=3)
+    # goldens snapshot the REFERENCE-PARITY transport: pin the estimator
+    # knobs whose production defaults diverge (config.py documents the
+    # divergence + measurements) so these tests keep catching transport /
+    # traversal / RNG-stream regressions against the committed images.
+    cfg = RenderConfig(spp=2, max_depth=3, shadow_rr_lum=0.0,
+                       rr_start_depth=3)
     n = w * h
     ra, rb = Reservoirs.empty(n), Reservoirs.empty(n)
     sun = sky.sun_direction(cfg.sun_azimuth, cfg.sun_elevation)

@@ -28,7 +28,7 @@ def test_sharded_render_matches_single_device():
     image as unsharded execution (GSPMD inserts the collectives)."""
     import __graft_entry__ as ge
 
-    step, args = ge._flagship(32, 16)
+    step, args, _cfg = ge._flagship(32, 16)
     packed_single, state_single, aux_single = step(*args)
 
     mesh = shrd.make_mesh(8)

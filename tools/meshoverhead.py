@@ -106,6 +106,7 @@ def main():
     hlos = {}
     for name, (w, h, use_mesh) in {
         "sharded ": (width, h_sharded, True),
+        "unsharded-same": (width, h_sharded, False),
         "1-device": (width, h_single, False),
     }.items():
         step, (scene, cam, prev, state, frame, key, sun, reset), cfg = (
@@ -148,9 +149,15 @@ def main():
               flush=True)
 
     sh, un = runs["sharded "], runs["1-device"]
-    print(f"\nweak-scaling overhead (CPU mesh, {width*rows_per_dev} "
-          f"px/device): sharded {sh*1e3:.1f} ms vs 1-device {un*1e3:.1f} ms "
-          f"-> overhead {max(0.0, sh/un - 1.0)*100:.1f}%")
+    same = runs["unsharded-same"]
+    print(f"\nweak-scaling (CPU mesh, {width*rows_per_dev} px/device): "
+          f"sharded {sh*1e3:.1f} ms vs 1-device {un*1e3:.1f} ms "
+          f"(x{sh/un:.2f} for {n_dev}x the pixels on ONE shared host; "
+          f"vs perfectly-serialized {n_dev}x = x{sh/(un*n_dev):.2f})")
+    print(f"equal-work partition overhead (the tight bound: same "
+          f"{width}x{h_sharded} frame, same silicon): sharded "
+          f"{sh*1e3:.1f} ms vs unsharded {same*1e3:.1f} ms -> "
+          f"{(sh/same - 1.0)*100:+.1f}%")
 
     print("\ncollective inventory (optimized sharded HLO):")
     inv = collective_inventory(hlos["sharded "])
